@@ -1,0 +1,173 @@
+"""Native DAVIS-style evaluation metrics: J (region IoU) and F (boundary
+F-measure), plus the mean/recall/decay statistics.
+
+The reference delegates these to the external ``davis-2017`` package
+(imports at /root/reference/src/util/helper_func.py:8-15, scoring via
+eval_davis_seq at helper_func.py:444-458). That package is scipy/cython; here
+the per-frame metrics are pure jnp (jittable, runs on TPU) and the sequence
+statistics are tiny host-side numpy.
+
+Boundary F-measure design (TPU-first): the reference's implementation builds a
+boundary map and dilates it with a disk structuring element
+(``binary_dilation(bmap, disk(bound_pix))``). Morphological dilation with a
+disk == 2-D max-pool with a disk-shaped footprint; we express it as a
+``reduce_window`` max over the (2r+1)x(2r+1) window applied to the boundary
+map *masked through the disk* via a depthwise convolution with the binary disk
+kernel followed by ``> 0`` — one fused XLA conv, no scipy.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Dict
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+Array = jax.Array
+
+
+def jaccard(pred: Array, gt: Array) -> Array:
+    """Region similarity J = |pred ∧ gt| / |pred ∨ gt| for binary masks.
+
+    Empty-∪-empty convention: J = 1 when both masks are empty (matches the
+    davis package's db_eval_iou annotation-void handling).
+    """
+    pred = pred.astype(jnp.bool_)
+    gt = gt.astype(jnp.bool_)
+    inter = jnp.sum(jnp.logical_and(pred, gt))
+    union = jnp.sum(jnp.logical_or(pred, gt))
+    return jnp.where(union == 0, 1.0, inter / jnp.maximum(union, 1))
+
+
+def _boundary_map(mask: Array) -> Array:
+    """Boundary pixels: pixels that differ from their east/south/south-east
+    neighbor, zero-padded shifts — the seg2bmap construction of the davis
+    package (fg pixels touching the image border are boundary).
+    """
+    m = mask.astype(jnp.float32)
+    e = jnp.pad(m, ((0, 0), (0, 1)))[:, 1:]
+    s = jnp.pad(m, ((0, 1), (0, 0)))[1:, :]
+    se = jnp.pad(m, ((0, 1), (0, 1)))[1:, 1:]
+    b = (
+        jnp.logical_or(
+            jnp.logical_or(m != e, m != s),
+            m != se,
+        )
+    ).astype(jnp.float32)
+    return b
+
+
+def _disk_kernel(radius: int) -> np.ndarray:
+    """Binary disk structuring element of the given radius (host constant)."""
+    size = 2 * radius + 1
+    yy, xx = np.mgrid[-radius : radius + 1, -radius : radius + 1]
+    return ((yy * yy + xx * xx) <= radius * radius + 1e-9).astype(np.float32)
+
+
+def _dilate(b: Array, radius: int) -> Array:
+    """Binary dilation with a disk: conv with the disk kernel then > 0."""
+    if radius <= 0:
+        return b
+    k = jnp.asarray(_disk_kernel(radius))
+    out = jax.lax.conv_general_dilated(
+        b[None, None, :, :],
+        k[None, None, :, :],
+        window_strides=(1, 1),
+        padding="SAME",
+        dimension_numbers=("NCHW", "OIHW", "NCHW"),
+    )[0, 0]
+    return (out > 0).astype(b.dtype)
+
+
+def boundary_f_measure(pred: Array, gt: Array, bound_th: float = 0.008) -> Array:
+    """Boundary F-measure between binary masks (davis db_eval_boundary parity).
+
+    bound_th < 1 is a fraction of the image diagonal (reference default 0.008).
+    """
+    h, w = pred.shape[-2], pred.shape[-1]
+    if bound_th >= 1:
+        radius = int(math.ceil(bound_th))
+    else:
+        radius = int(math.ceil(bound_th * math.sqrt(h * h + w * w)))
+
+    fg_b = _boundary_map(pred.astype(jnp.bool_))
+    gt_b = _boundary_map(gt.astype(jnp.bool_))
+
+    fg_dil = _dilate(fg_b, radius)
+    gt_dil = _dilate(gt_b, radius)
+
+    gt_match = gt_b * fg_dil
+    fg_match = fg_b * gt_dil
+
+    n_fg = jnp.sum(fg_b)
+    n_gt = jnp.sum(gt_b)
+
+    precision = jnp.where(n_fg > 0, jnp.sum(fg_match) / jnp.maximum(n_fg, 1.0), 0.0)
+    recall = jnp.where(n_gt > 0, jnp.sum(gt_match) / jnp.maximum(n_gt, 1.0), 0.0)
+
+    both_empty = jnp.logical_and(n_fg == 0, n_gt == 0)
+    f = jnp.where(
+        precision + recall > 0,
+        2.0 * precision * recall / jnp.maximum(precision + recall, 1e-12),
+        0.0,
+    )
+    return jnp.where(both_empty, 1.0, f)
+
+
+# jitted batched-per-frame entry points -------------------------------------
+
+jaccard_frames = jax.jit(jax.vmap(jaccard))
+
+
+@jax.jit
+def boundary_f_frames(preds: Array, gts: Array) -> Array:
+    return jax.vmap(boundary_f_measure)(preds, gts)
+
+
+def db_statistics(per_frame: np.ndarray) -> Dict[str, float]:
+    """Mean / recall / decay over a per-frame metric vector.
+
+    Parity with the davis package's db_statistics: recall counts frames above
+    0.5; decay = mean(first quartile bin) − mean(last quartile bin) over 4
+    equal frame bins.
+    """
+    per_frame = np.asarray(per_frame, dtype=np.float64)
+    if per_frame.size == 0:
+        return {"mean": float("nan"), "recall": float("nan"), "decay": float("nan")}
+    mean = float(np.nanmean(per_frame))
+    recall = float(np.nanmean(per_frame > 0.5))
+    n = len(per_frame)
+    ids = np.round(np.linspace(1, n, 5) + 1e-10) - 1
+    ids = ids.astype(int)
+    bins = [per_frame[ids[i] : ids[i + 1] + 1] for i in range(4)]
+    decay = float(np.nanmean(bins[0]) - np.nanmean(bins[3]))
+    return {"mean": mean, "recall": recall, "decay": decay}
+
+
+def evaluate_sequence(
+    pred_masks: np.ndarray,
+    gt_masks: np.ndarray,
+    exclude_first_last: bool = True,
+) -> Dict[str, Dict[str, float]]:
+    """J/F statistics for one (sequence, object) pair.
+
+    pred_masks/gt_masks: [T, H, W] binary. The DAVIS protocol excludes the
+    first (GT-given) and last frame from the statistics; YouTube-VOS style
+    callers can disable that.
+    """
+    preds = jnp.asarray(pred_masks)
+    gts = jnp.asarray(gt_masks)
+    j = np.asarray(jaccard_frames(preds, gts))
+    f = np.asarray(boundary_f_frames(preds, gts))
+    if exclude_first_last and len(j) > 2:
+        j_stat, f_stat = j[1:-1], f[1:-1]
+    else:
+        j_stat, f_stat = j, f
+    return {
+        "J": db_statistics(j_stat),
+        "F": db_statistics(f_stat),
+        "J_per_frame": j.tolist(),
+        "F_per_frame": f.tolist(),
+    }
