@@ -1,0 +1,103 @@
+"""Headline benchmark: frames/sec including one-shot fine-tune at 480p.
+
+Mirrors the reference's timing methodology (/root/reference/src/util/
+evaluate.py:152,319-320,436): per-frame time over the combined one-shot
+fine-tune + online adaptation + inference of a sequence, e-OSVOS-50-OnA
+configuration (50 initial fine-tune steps, batch 3; re-adapt every 5 frames
+for 10 steps on propagated pseudo-GT). The reference V100 anchor is 0.35 fps
+(BASELINE.md; src/visualization.ipynb cell 3).
+
+Runs on whatever jax.devices() provides (one TPU chip under the driver).
+Compilation is warmed up on the first sequence and excluded (the deployed
+system reuses the compile cache across sequences, as the reference reuses
+its CUDA context).
+
+Prints ONE json line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+BASELINE_FPS = 0.35  # e-OSVOS-50-OnA on V100 (BASELINE.md)
+
+
+def main():
+    from e_osvos_tpu.data.synthetic import SyntheticVOSIndex
+    from e_osvos_tpu.data.transforms import AugmentConfig
+    from e_osvos_tpu.engine import OneShotConfig, OneShotEvaluator
+    from e_osvos_tpu.meta_optim import MetaOptimConfig, init_meta_params
+    from e_osvos_tpu.models import DeepLabV3Plus
+
+    H, W, T = 480, 854, 20
+
+    model = DeepLabV3Plus(num_classes=1, arch="resnet50", dtype=jnp.bfloat16)
+    params = model.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, H, W, 3), jnp.float32)
+    )
+
+    meta_cfg = MetaOptimConfig(
+        lr_hierarchy_level="neuron",
+        init_lr=1e-3,
+        learn_model_init=True,
+        use_log_init_lr=False,
+    )
+    meta_params = init_meta_params(meta_cfg, params)
+
+    # e-OSVOS-50-OnA: 50 init epochs, OnA every 5 frames x 10 epochs
+    cfg = OneShotConfig(
+        num_epochs=50,
+        batch_size=3,
+        loss_func="dice",
+        online_adapt_step=5,
+        online_adapt_epochs=10,
+        online_adapt_min_prop=0.75,
+        augment=AugmentConfig(),
+    )
+    evaluator = OneShotEvaluator(model.apply, meta_cfg, cfg)
+
+    index = SyntheticVOSIndex(
+        num_sequences=2, num_frames=T, size=(H, W), num_objects=1, seed=0
+    )
+
+    key = jax.random.PRNGKey(0)
+
+    def run_seq(name):
+        """The reference's timed region (evaluate.py:152,319-320): fine-tune
+        + propagate + OnA re-fits for one sequence/object group; J/F scoring
+        is outside the timer there and here."""
+        seq = index.sequences[name]
+        frames = jnp.asarray(
+            np.stack([index.get_image(name, t) for t in range(len(seq))])
+        )
+        probs = evaluator._eval_object_group(
+            index, seq, frames, seq.object_groups[0], meta_params, key, None
+        )
+        return probs.block_until_ready()
+
+    run_seq("seq00")  # warmup: compiles fine-tune, window-infer, OnA-refit
+
+    t0 = time.perf_counter()
+    run_seq("seq01")
+    dt = time.perf_counter() - t0
+
+    fps = T / dt
+    print(
+        json.dumps(
+            {
+                "metric": "fps_480p_e-OSVOS-50-OnA_incl_finetune",
+                "value": round(fps, 4),
+                "unit": "frames/sec",
+                "vs_baseline": round(fps / BASELINE_FPS, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

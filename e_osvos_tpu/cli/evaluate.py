@@ -1,0 +1,85 @@
+"""One-shot evaluation CLI (the rebuild of the reference's eval-only
+invocation, /root/reference/README.md:76-83 → src/util/evaluate.py).
+
+Usage:
+  python -m e_osvos_tpu.cli.evaluate with DAVIS-2017 e-OSVOS-OnA \
+      num_epochs.eval=50 meta_optim_model_file=models/best.ckpt
+
+Writes per-sequence J/F to metrics.jsonl and (optionally) indexed-PNG
+predictions for DAVIS/YT-VOS submission (save_preds=<dir>).
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import jax
+import numpy as np
+
+from e_osvos_tpu import config as cfglib
+from e_osvos_tpu.cli.common import (
+    build_indexes,
+    build_parent_model,
+    init_model_params,
+    resolve_meta_params,
+)
+from e_osvos_tpu.engine.one_shot import OneShotEvaluator
+from e_osvos_tpu.utils import MetricsLogger, Timer
+from e_osvos_tpu.utils.png import save_indexed_png
+
+
+def main(argv=None):
+    cfg = cfglib.parse_cli(argv if argv is not None else sys.argv[1:])
+    save_dir = cfg.get("save_dir") or "models"
+    logger = MetricsLogger(path=os.path.join(save_dir, "eval_metrics.jsonl"))
+
+    model = build_parent_model(cfg)
+    params = init_model_params(cfg, model)
+    meta_params = resolve_meta_params(cfg, model, params)
+
+    meta_cfg = cfglib.to_meta_optim_config(cfg)
+    one_shot_cfg = cfglib.to_one_shot_config(cfg)
+    evaluator = OneShotEvaluator(model.apply, meta_cfg, one_shot_cfg)
+
+    indexes = build_indexes(cfg, "val")
+    preds_dir = cfg.get("save_preds")
+    timer = Timer()
+
+    all_j, all_f = [], []
+    for index in indexes:
+        for name, seq in index.sequences.items():
+            timer.start("seq")
+            res = evaluator.eval_sequence(
+                index, name, meta_params, jax.random.PRNGKey(int(cfg.get("seed", 1)))
+            )
+            dt = timer.stop("seq")
+            tpf = dt / max(len(seq), 1)
+            logger.log(
+                "eval_seq",
+                seq=name,
+                J_mean=res["J_mean"],
+                F_mean=res["F_mean"],
+                time_per_frame=tpf,
+                fps=1.0 / tpf if tpf > 0 else float("inf"),
+            )
+            all_j.append(res["J_mean"])
+            all_f.append(res["F_mean"])
+            if preds_dir:
+                out = os.path.join(preds_dir, name)
+                os.makedirs(out, exist_ok=True)
+                for t in range(res["merged"].shape[0]):
+                    save_indexed_png(
+                        os.path.join(out, f"{t:05d}.png"),
+                        res["merged"][t].astype(np.uint8),
+                    )
+    logger.log(
+        "eval_total",
+        J_mean=float(np.nanmean(all_j)) if all_j else float("nan"),
+        F_mean=float(np.nanmean(all_f)) if all_f else float("nan"),
+        num_sequences=len(all_j),
+    )
+
+
+if __name__ == "__main__":
+    main()

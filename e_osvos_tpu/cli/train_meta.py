@@ -1,0 +1,89 @@
+"""Meta-training CLI (the rebuild of /root/reference/src/train_meta.py).
+
+Usage:
+  python -m e_osvos_tpu.cli.train_meta with YouTube-VOS num_meta_iters=1000
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import jax
+
+from e_osvos_tpu import config as cfglib
+from e_osvos_tpu.cli.common import (
+    build_indexes,
+    build_parent_model,
+    init_model_params,
+    resolve_meta_params,
+)
+from e_osvos_tpu.engine.meta_trainer import MetaTrainer
+from e_osvos_tpu.engine.one_shot import OneShotEvaluator
+from e_osvos_tpu.meta_optim.tasksets import MetaTaskset
+from e_osvos_tpu.parallel import make_mesh
+from e_osvos_tpu.utils import MetricsLogger
+
+
+def main(argv=None):
+    cfg = cfglib.parse_cli(argv if argv is not None else sys.argv[1:])
+    save_dir = cfg.get("save_dir") or "models"
+    if cfg.get("env_suffix"):
+        save_dir = os.path.join(save_dir, str(cfg["env_suffix"]))
+    cfg["save_dir"] = save_dir
+
+    model = build_parent_model(cfg)
+    crop = cfglib.to_taskset_config(cfg).crop_size
+    params = init_model_params(cfg, model, input_hw=crop)
+
+    indexes = build_indexes(cfg, "train")
+    taskset = MetaTaskset(
+        indexes, cfglib.to_taskset_config(cfg), seed=int(cfg.get("seed", 1))
+    )
+
+    eval_fn = None
+    val_indexes = build_indexes(cfg, "val")
+    if val_indexes and cfg.get("eval_interval"):
+        meta_cfg = cfglib.to_meta_optim_config(cfg)
+        one_shot_cfg = cfglib.to_one_shot_config(cfg)
+        evaluator = OneShotEvaluator(model.apply, meta_cfg, one_shot_cfg)
+        index = val_indexes[0]
+
+        def eval_fn(meta_params, meta_iter):
+            results = [
+                evaluator.eval_sequence(
+                    index, name, meta_params, jax.random.PRNGKey(meta_iter)
+                )
+                for name in index.sequences
+            ]
+            js = [r["J_mean"] for r in results]
+            fs = [r["F_mean"] for r in results]
+            import numpy as np
+
+            return {
+                "J_mean": float(np.nanmean(js)),
+                "F_mean": float(np.nanmean(fs)),
+                "per_seq_J": {r["seq"]: r["J_mean"] for r in results},
+            }
+
+    trainer = MetaTrainer(
+        model_apply=model.apply,
+        init_params=params,
+        taskset=taskset,
+        meta_cfg=cfglib.to_meta_optim_config(cfg),
+        step_cfg=cfglib.to_meta_step_config(cfg),
+        outer_cfg=cfglib.to_outer_optim_config(cfg),
+        train_cfg=cfglib.to_meta_train_config(cfg),
+        mesh=make_mesh(),
+        logger=MetricsLogger(path=os.path.join(save_dir, "metrics.jsonl")),
+        eval_fn=eval_fn,
+    )
+    trainer.meta_params = resolve_meta_params(cfg, model, params)
+    if cfg.get("resume"):
+        trainer.restore(cfg["resume"])
+    trainer.run()
+    trainer.save("last_meta_iter")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,247 @@
+"""On-device image/label preprocessing and augmentation (pure jnp, jittable).
+
+The reference does all of this on the host with OpenCV/PIL inside DataLoader
+workers (/root/reference/src/data/custom_transforms.py:9-272,
+vos_dataset.py:233-279): warpAffine scale-rotate, PIL color jitter,
+horizontal flip, pad+random-crop, mean-subtract / 255-normalize. Its
+"deterministic" mode caches the random draw per file name so the train and
+meta loaders of one meta-task apply identical augmentation
+(custom_transforms.py:58-87).
+
+TPU-native redesign (SURVEY.md §7 design translation):
+  * every transform is a pure function of an explicit ``jax.random`` key —
+    determinism-per-task falls out of folding the task id into the key, no
+    caching machinery;
+  * geometry is one inverse-affine gather (``map_coordinates``): scale,
+    rotation and flip compose into a single 2x3 matrix, applied bilinearly
+    to images and nearest-neighbor to label/valid maps — one fused XLA
+    gather instead of several cv2 passes;
+  * everything is static-shape and vmap/scan-friendly so augmentation runs
+    inside the same jitted program as the fine-tune step (augmented support
+    batches are generated on device, not shipped from host).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+Array = jax.Array
+
+# DAVIS BGR channel means (reference: src/data/davis.py:20) reordered to RGB.
+DAVIS_MEAN_RGB = (122.679, 116.669, 104.007)
+
+
+@dataclasses.dataclass(frozen=True)
+class AugmentConfig:
+    """Per-task augmentation ranges.
+
+    Defaults mirror the reference's meta-task transform stack
+    (meta_tasksets.py:109-136): scale in [0.75, 1.25], rotation in
+    [-30°, 30°], color jitter 0.1/0.1/0.1, 50% horizontal flip.
+    """
+
+    scale_min: float = 0.75
+    scale_max: float = 1.25
+    rot_deg: float = 30.0
+    brightness: float = 0.1
+    contrast: float = 0.1
+    saturation: float = 0.1
+    flip_prob: float = 0.5
+
+
+def normalize(img: Array, mode: str = "davis") -> Array:
+    """uint8/float RGB HWC → normalized float32.
+
+    ``davis``: subtract the DAVIS channel means (vos_dataset.py:276-279
+    ``normalize=False`` branch); ``unit``: /255 (``normalize=True`` branch).
+    """
+    img = img.astype(jnp.float32)
+    if mode == "davis":
+        return img - jnp.asarray(DAVIS_MEAN_RGB, jnp.float32)
+    if mode == "unit":
+        return img / 255.0
+    if mode == "none":
+        return img
+    raise ValueError(f"unknown normalize mode {mode!r}")
+
+
+def _affine_grid(h: int, w: int, matrix: Array) -> Tuple[Array, Array]:
+    """Source sampling coordinates for an inverse affine map about the image
+    center. ``matrix`` is 2x3 [[a,b,tx],[c,d,ty]] in pixel units."""
+    ys = jnp.arange(h, dtype=jnp.float32) - (h - 1) / 2.0
+    xs = jnp.arange(w, dtype=jnp.float32) - (w - 1) / 2.0
+    yy, xx = jnp.meshgrid(ys, xs, indexing="ij")
+    src_x = matrix[0, 0] * xx + matrix[0, 1] * yy + matrix[0, 2] + (w - 1) / 2.0
+    src_y = matrix[1, 0] * xx + matrix[1, 1] * yy + matrix[1, 2] + (h - 1) / 2.0
+    return src_y, src_x
+
+
+def _sample_bilinear(img: Array, src_y: Array, src_x: Array, cval: float) -> Array:
+    """Bilinear gather of HWC image at float coords, constant padding."""
+    h, w = img.shape[0], img.shape[1]
+    y0 = jnp.floor(src_y)
+    x0 = jnp.floor(src_x)
+    wy = src_y - y0
+    wx = src_x - x0
+    y0 = y0.astype(jnp.int32)
+    x0 = x0.astype(jnp.int32)
+
+    def gather(yi, xi):
+        valid = (yi >= 0) & (yi < h) & (xi >= 0) & (xi < w)
+        yc = jnp.clip(yi, 0, h - 1)
+        xc = jnp.clip(xi, 0, w - 1)
+        vals = img[yc, xc]
+        return jnp.where(valid[..., None], vals, cval)
+
+    v00 = gather(y0, x0)
+    v01 = gather(y0, x0 + 1)
+    v10 = gather(y0 + 1, x0)
+    v11 = gather(y0 + 1, x0 + 1)
+    wy = wy[..., None]
+    wx = wx[..., None]
+    return (
+        v00 * (1 - wy) * (1 - wx)
+        + v01 * (1 - wy) * wx
+        + v10 * wy * (1 - wx)
+        + v11 * wy * wx
+    )
+
+
+def _sample_nearest(x: Array, src_y: Array, src_x: Array, cval: float) -> Array:
+    """Nearest-neighbor gather of an HW map at float coords."""
+    h, w = x.shape[0], x.shape[1]
+    yi = jnp.round(src_y).astype(jnp.int32)
+    xi = jnp.round(src_x).astype(jnp.int32)
+    valid = (yi >= 0) & (yi < h) & (xi >= 0) & (xi < w)
+    yc = jnp.clip(yi, 0, h - 1)
+    xc = jnp.clip(xi, 0, w - 1)
+    return jnp.where(valid, x[yc, xc], jnp.asarray(cval, x.dtype))
+
+
+def affine_warp(
+    img: Array,
+    label: Array,
+    matrix: Array,
+    img_cval: float = 0.0,
+    label_cval: float = 0.0,
+) -> Tuple[Array, Array]:
+    """Apply one inverse-affine warp: bilinear for the image, nearest for the
+    label. Replaces cv2.warpAffine (custom_transforms.py:44-51)."""
+    h, w = img.shape[0], img.shape[1]
+    src_y, src_x = _affine_grid(h, w, matrix)
+    out_img = _sample_bilinear(img, src_y, src_x, img_cval)
+    out_label = _sample_nearest(label, src_y, src_x, label_cval)
+    return out_img, out_label
+
+
+def scale_rotate_flip_matrix(
+    key: Array, cfg: AugmentConfig
+) -> Array:
+    """Sample a combined inverse scale+rotate+flip matrix (pixel units,
+    centered). The forward transform scales by s and rotates by θ; the
+    sampling (inverse) matrix is R(-θ)/s, with an x-axis sign flip folded in.
+    """
+    k_s, k_r, k_f = jax.random.split(key, 3)
+    s = jax.random.uniform(k_s, (), minval=cfg.scale_min, maxval=cfg.scale_max)
+    theta = jax.random.uniform(
+        k_r, (), minval=-cfg.rot_deg, maxval=cfg.rot_deg
+    ) * (jnp.pi / 180.0)
+    flip = jax.random.bernoulli(k_f, cfg.flip_prob)
+    fx = jnp.where(flip, -1.0, 1.0)
+    cos = jnp.cos(theta) / s
+    sin = jnp.sin(theta) / s
+    # inverse: [x_src; y_src] = R(-θ)/s · F · [x_dst; y_dst]
+    return jnp.array(
+        [[cos, sin, 0.0], [-sin, cos, 0.0]], jnp.float32
+    ) * jnp.array([[fx, 1.0, 1.0], [fx, 1.0, 1.0]], jnp.float32)
+
+
+def color_jitter(key: Array, img: Array, cfg: AugmentConfig) -> Array:
+    """Brightness/contrast/saturation jitter on a [0,255] RGB image.
+
+    Same factor semantics as torchvision ColorJitter (reference uses it via
+    custom_transforms.py:122-153): each factor uniform in [1-x, 1+x].
+    """
+    k_b, k_c, k_s = jax.random.split(key, 3)
+    b = jax.random.uniform(k_b, (), minval=1 - cfg.brightness, maxval=1 + cfg.brightness)
+    c = jax.random.uniform(k_c, (), minval=1 - cfg.contrast, maxval=1 + cfg.contrast)
+    s = jax.random.uniform(k_s, (), minval=1 - cfg.saturation, maxval=1 + cfg.saturation)
+    img = img.astype(jnp.float32) * b
+    mean = jnp.mean(img)
+    img = (img - mean) * c + mean
+    gray = (
+        0.299 * img[..., 0] + 0.587 * img[..., 1] + 0.114 * img[..., 2]
+    )[..., None]
+    img = (img - gray) * s + gray
+    return jnp.clip(img, 0.0, 255.0)
+
+
+def augment_frame(
+    key: Array,
+    img: Array,
+    label: Array,
+    cfg: Optional[AugmentConfig] = None,
+) -> Tuple[Array, Array]:
+    """Full per-frame augmentation: color jitter → one fused
+    scale/rotate/flip warp. ``img`` is [H,W,3] in [0,255] (pre-normalize),
+    ``label`` is [H,W]. Warped-in border pixels get label 255 (ignore), the
+    convention the losses' ``valid`` masks consume — the reference instead
+    retries warps that lose labels (custom_transforms.py:52-57); masking is
+    the static-shape equivalent."""
+    cfg = cfg or AugmentConfig()
+    k_color, k_geom = jax.random.split(key)
+    img = color_jitter(k_color, img, cfg)
+    matrix = scale_rotate_flip_matrix(k_geom, cfg)
+    img, label = affine_warp(img, label, matrix, img_cval=0.0, label_cval=255.0)
+    return img, label
+
+
+def augment_support_batch(
+    key: Array,
+    img: Array,
+    label: Array,
+    batch_size: int,
+    cfg: Optional[AugmentConfig] = None,
+) -> Tuple[Array, Array]:
+    """EpochSampler semantics on device: replicate one support frame
+    ``batch_size`` times with INDEPENDENT augmentations (reference:
+    helper_func.py:521-545 + per-worker random transforms). Returns
+    ([B,H,W,3], [B,H,W])."""
+    keys = jax.random.split(key, batch_size)
+    return jax.vmap(lambda k: augment_frame(k, img, label, cfg))(keys)
+
+
+def pad_to(img: Array, label: Array, size: Tuple[int, int]) -> Tuple[Array, Array, Array]:
+    """Pad bottom/right to a static (H, W); returns (img, label, valid).
+
+    Replaces the reference's pad+crop host logic (vos_dataset.py:246-274)
+    with a static-shape pad + ignore mask."""
+    h, w = img.shape[0], img.shape[1]
+    th, tw = size
+    if h > th or w > tw:
+        raise ValueError(f"frame {h}x{w} larger than canvas {th}x{tw}")
+    img_p = jnp.pad(img, ((0, th - h), (0, tw - w), (0, 0)))
+    label_p = jnp.pad(label, ((0, th - h), (0, tw - w)), constant_values=255)
+    valid = jnp.pad(
+        jnp.ones((h, w), jnp.bool_), ((0, th - h), (0, tw - w))
+    )
+    return img_p, label_p, valid
+
+
+def random_crop(
+    key: Array, img: Array, label: Array, size: Tuple[int, int]
+) -> Tuple[Array, Array]:
+    """Random crop to a static size (train-time crop_size,
+    vos_dataset.py:246-274). Uses dynamic_slice so it stays jittable."""
+    h, w = img.shape[0], img.shape[1]
+    th, tw = size
+    ky, kx = jax.random.split(key)
+    y0 = jax.random.randint(ky, (), 0, max(h - th, 0) + 1)
+    x0 = jax.random.randint(kx, (), 0, max(w - tw, 0) + 1)
+    img_c = jax.lax.dynamic_slice(img, (y0, x0, 0), (th, tw, img.shape[2]))
+    label_c = jax.lax.dynamic_slice(label, (y0, x0), (th, tw))
+    return img_c, label_c

@@ -1,0 +1,345 @@
+"""One-shot fine-tune + propagate evaluation engine (the benchmark path).
+
+Reference behavior being rebuilt (/root/reference/src/util/evaluate.py:20-439):
+for every sequence × object group, reset to the learned init, fine-tune on the
+support frame (augmented copies), run inference over the frame range, and —
+with online adaptation enabled — re-fine-tune every ``step`` frames on the
+support frame plus propagated predictions ≥ ``min_prop`` used as pseudo
+ground truth (evaluate.py:141-253). Objects are merged per pixel by argmax
+over per-object probability maps with a 0.5 background threshold
+(evaluate.py:322-326).
+
+TPU-native redesign (SURVEY.md §7 steps 3-4):
+  * the ENTIRE fine-tune loop is one jitted ``lax.scan``; each step draws a
+    fresh augmentation of the support frame ON DEVICE (transforms.py), so
+    the reference's EpochSampler + DataLoader worker machinery disappears;
+  * object groups are a **batch axis** (``vmap``): the reference loops
+    objects serially (evaluate.py:132); batching them is the idiomatic TPU
+    win — one compiled program fine-tunes all objects simultaneously;
+  * online adaptation windows are a host loop (frame IO lives there anyway);
+    the per-window fine-tune+infer is jitted with static window shapes, so
+    there is exactly one compile per (H, W, window) signature;
+  * early stopping is the masked-scan latch from meta_optimizer.fine_tune.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Any, Callable, Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from e_osvos_tpu.data import transforms
+from e_osvos_tpu.data.datasets import binarize_label
+from e_osvos_tpu.meta_optim import (
+    MetaOptimConfig,
+    MetaParams,
+    fine_tune,
+)
+from e_osvos_tpu.ops import losses as loss_ops
+from e_osvos_tpu.ops import metrics as metric_ops
+
+Array = jax.Array
+
+
+@dataclasses.dataclass(frozen=True)
+class OneShotConfig:
+    """Evaluation configuration.
+
+    Mirrors the reference's eval knobs: ``num_epochs`` (cfgs/meta.yaml:24-26,
+    100 for e-OSVOS-100), ``batch_size`` = augmented support copies per step
+    (batch_sizes.train=3, cfgs/eval_e-osvos-OnA.yaml:5), online adaptation
+    ``step``/``num_epochs``/``min_prop`` (cfgs/meta.yaml:30-34), loss
+    (loss_func, cfgs/meta.yaml:68), early-stop patience
+    (helper_func.py:388-397 callers).
+    """
+
+    num_epochs: int = 10
+    batch_size: int = 3
+    loss_func: str = "dice"
+    early_stop_patience: int = 0
+    # online adaptation (0 = disabled, parity: eval_online_adapt.step=5)
+    online_adapt_step: int = 0
+    online_adapt_epochs: int = 10
+    online_adapt_min_prop: float = 0.75
+    # segmentation threshold for binary masks
+    threshold: float = 0.5
+    normalize_mode: str = "davis"
+    augment: transforms.AugmentConfig = dataclasses.field(
+        default_factory=transforms.AugmentConfig
+    )
+
+
+def make_support_loss_fn(
+    model_apply: Callable,
+    cfg: OneShotConfig,
+) -> Callable:
+    """Loss over one on-device-augmented support batch.
+
+    Returned fn signature: ``loss_fn(params, (key, img, label)) -> scalar``
+    where img is the raw [H,W,3] uint8-range support frame and label the
+    {0,1,255} mask. 255 pixels (ignore / warp border) are masked out via the
+    losses' ``valid`` argument.
+    """
+
+    def loss_fn(params, batch):
+        key, img, label = batch
+        imgs, labels = transforms.augment_support_batch(
+            key, img.astype(jnp.float32), label, cfg.batch_size, cfg.augment
+        )
+        imgs = transforms.normalize(imgs, cfg.normalize_mode)
+        valid = labels != 255
+        gts = jnp.where(valid, labels, 0).astype(jnp.float32)
+        logits = model_apply(params, imgs)[..., 0]
+        return loss_ops.compute_loss(cfg.loss_func, logits, gts, valid)
+
+    return loss_fn
+
+
+def make_pseudo_gt_loss_fn(
+    model_apply: Callable,
+    cfg: OneShotConfig,
+) -> Callable:
+    """Loss over support frame copies PLUS propagated pseudo-GT frames
+    (online adaptation, evaluate.py:224-253). Batch = (key, support_img,
+    support_label, prop_imgs [K,H,W,3], prop_labels [K,H,W] in {0,1,255}).
+    Pseudo frames are not augmented (parity: the reference augments only the
+    support copies)."""
+
+    def loss_fn(params, batch):
+        key, img, label, prop_imgs, prop_labels = batch
+        s_imgs, s_labels = transforms.augment_support_batch(
+            key, img.astype(jnp.float32), label, cfg.batch_size, cfg.augment
+        )
+        imgs = jnp.concatenate(
+            [s_imgs, prop_imgs.astype(jnp.float32)], axis=0
+        )
+        labels = jnp.concatenate([s_labels, prop_labels], axis=0)
+        imgs = transforms.normalize(imgs, cfg.normalize_mode)
+        valid = labels != 255
+        gts = jnp.where(valid, labels, 0).astype(jnp.float32)
+        logits = model_apply(params, imgs)[..., 0]
+        return loss_ops.compute_loss(cfg.loss_func, logits, gts, valid)
+
+    return loss_fn
+
+
+def fine_tune_on_support(
+    model_apply: Callable,
+    meta_cfg: MetaOptimConfig,
+    cfg: OneShotConfig,
+    meta_params: MetaParams,
+    key: Array,
+    img: Array,
+    label: Array,
+    init_params: Any = None,
+) -> Tuple[Any, Array]:
+    """One-shot adaptation: ``num_epochs`` learned-SGD steps on augmented
+    support copies, as a single scan. Returns (params, per-step losses)."""
+    loss_fn = make_support_loss_fn(model_apply, cfg)
+    keys = jax.random.split(key, cfg.num_epochs)
+    batches = (
+        keys,
+        jnp.broadcast_to(img, (cfg.num_epochs,) + img.shape),
+        jnp.broadcast_to(label, (cfg.num_epochs,) + label.shape),
+    )
+    return fine_tune(
+        meta_cfg,
+        loss_fn,
+        meta_params,
+        batches,
+        init_params=init_params,
+        early_stop_patience=cfg.early_stop_patience,
+    )
+
+
+def segment_frames(
+    model_apply: Callable,
+    cfg: OneShotConfig,
+    params: Any,
+    frames: Array,
+) -> Array:
+    """Inference over a [T,H,W,3] raw frame stack → [T,H,W] fg probability."""
+    imgs = transforms.normalize(frames.astype(jnp.float32), cfg.normalize_mode)
+    logits = model_apply(params, imgs)[..., 0]
+    return jax.nn.sigmoid(logits)
+
+
+def merge_objects(probs: Array, threshold: float = 0.5) -> Array:
+    """Per-pixel argmax over per-object probability maps with background
+    threshold (evaluate.py:322-326). probs: [O,H,W] (or [O,T,H,W]) →
+    int32 label map with 0 = background, k+1 = object k."""
+    bg = jnp.full_like(probs[:1], threshold)
+    stacked = jnp.concatenate([bg, probs], axis=0)
+    return jnp.argmax(stacked, axis=0).astype(jnp.int32)
+
+
+class OneShotEvaluator:
+    """Drives per-sequence one-shot evaluation over a dataset index.
+
+    ``model_apply(params, imgs[B,H,W,3]) -> logits [B,H,W,1]``.
+    """
+
+    def __init__(
+        self,
+        model_apply: Callable,
+        meta_cfg: MetaOptimConfig,
+        cfg: OneShotConfig,
+    ):
+        self.model_apply = model_apply
+        self.meta_cfg = meta_cfg
+        self.cfg = cfg
+        self._jit_ft = jax.jit(
+            partial(fine_tune_on_support, model_apply, meta_cfg, cfg)
+        )
+        self._jit_seg = jax.jit(partial(segment_frames, model_apply, cfg))
+        loss_fn = make_pseudo_gt_loss_fn(model_apply, cfg)
+
+        def _ona_ft(meta_params, key, img, label, prop_imgs, prop_labels, init_params):
+            keys = jax.random.split(key, cfg.online_adapt_epochs)
+            n = cfg.online_adapt_epochs
+            batches = (
+                keys,
+                jnp.broadcast_to(img, (n,) + img.shape),
+                jnp.broadcast_to(label, (n,) + label.shape),
+                jnp.broadcast_to(prop_imgs, (n,) + prop_imgs.shape),
+                jnp.broadcast_to(prop_labels, (n,) + prop_labels.shape),
+            )
+            # FIRST_STEP continuation: keep the already-fine-tuned params
+            # (reset_model_mode, evaluate.py:196-205)
+            return fine_tune(
+                meta_cfg,
+                loss_fn,
+                meta_params,
+                batches,
+                init_params=init_params,
+                early_stop_patience=cfg.early_stop_patience,
+                reset=False,
+            )
+
+        self._jit_ona_ft = jax.jit(_ona_ft)
+
+    # ---- per-sequence driver (host loop over OnA windows) ----
+
+    def eval_sequence(
+        self,
+        index,
+        seq_name: str,
+        meta_params: MetaParams,
+        key: Array,
+        init_params: Any = None,
+    ) -> Dict[str, Any]:
+        """Fine-tune + propagate one sequence; returns per-frame merged
+        labels, per-object probs, and J/F statistics."""
+        seq = index.sequences[seq_name]
+        T = len(seq)
+        frames = np.stack([index.get_image(seq_name, t) for t in range(T)])
+        frames_j = jnp.asarray(frames)
+
+        obj_probs = []
+        for gi, group in enumerate(seq.object_groups):
+            gkey = jax.random.fold_in(key, gi)
+            probs = self._eval_object_group(
+                index, seq, frames_j, group, meta_params, gkey, init_params
+            )
+            obj_probs.append(probs)
+        probs = jnp.stack(obj_probs)  # [O,T,H,W]
+        merged = merge_objects(probs, self.cfg.threshold)  # [T,H,W]
+
+        # J/F against available GT (skip frame 0 per DAVIS protocol and
+        # frames without annotations)
+        j_per_obj: List[List[float]] = [[] for _ in seq.object_groups]
+        f_per_obj: List[List[float]] = [[] for _ in seq.object_groups]
+        for t in range(1, T):
+            gt = index.get_label(seq_name, t)
+            if gt is None:
+                continue
+            for gi, group in enumerate(seq.object_groups):
+                gt_bin = binarize_label(gt, group.object_ids)
+                pred_bin = np.asarray(merged[t]) == (gi + 1)
+                valid = gt_bin != 255
+                j = metric_ops.jaccard(
+                    jnp.asarray(pred_bin & valid), jnp.asarray((gt_bin == 1) & valid)
+                )
+                f = metric_ops.boundary_f_measure(
+                    jnp.asarray(pred_bin & valid), jnp.asarray((gt_bin == 1) & valid)
+                )
+                j_per_obj[gi].append(float(j))
+                f_per_obj[gi].append(float(f))
+
+        j_means = [float(np.mean(js)) if js else float("nan") for js in j_per_obj]
+        f_means = [float(np.mean(fs)) if fs else float("nan") for fs in f_per_obj]
+        return {
+            "seq": seq_name,
+            "merged": np.asarray(merged),
+            "probs": np.asarray(probs),
+            "J_per_object": j_means,
+            "F_per_object": f_means,
+            "J_mean": float(np.nanmean(j_means)) if j_means else float("nan"),
+            "F_mean": float(np.nanmean(f_means)) if f_means else float("nan"),
+        }
+
+    def _eval_object_group(
+        self,
+        index,
+        seq,
+        frames_j: Array,
+        group,
+        meta_params: MetaParams,
+        key: Array,
+        init_params: Any,
+    ) -> Array:
+        """Returns [T,H,W] fg probability for one object group."""
+        cfg = self.cfg
+        T = frames_j.shape[0]
+        sf = group.support_frame
+        support_img = frames_j[sf]
+        gt = index.get_label(seq.name, sf)
+        support_label = jnp.asarray(
+            binarize_label(gt, group.object_ids), jnp.int32
+        )
+
+        k_ft, k_ona = jax.random.split(key)
+        params, _ = self._jit_ft(
+            meta_params, k_ft, support_img, support_label, init_params
+        )
+
+        probs = jnp.zeros((T,) + frames_j.shape[1:3], jnp.float32)
+        # frames before the support frame keep probability 0 (YT-VOS objects
+        # appearing mid-sequence, youtube.py:131-185); support frame gets GT
+        probs = probs.at[sf].set(support_label.astype(jnp.float32))
+
+        step = cfg.online_adapt_step if cfg.online_adapt_step > 0 else T
+        start = sf + 1
+        window_id = 0
+        while start < T:
+            end = min(start + step, T)
+            window = frames_j[start:end]
+            w_probs = self._jit_seg(params, window)
+            probs = probs.at[start:end].set(w_probs)
+
+            if cfg.online_adapt_step > 0 and end < T:
+                # re-adapt on support + propagated pseudo-GT from this window
+                # (evaluate.py:141-253): prob ≥ min_prop → 1, ≤ 1-min_prop →
+                # 0, else 255 (ignore)
+                pseudo = jnp.where(
+                    w_probs >= cfg.online_adapt_min_prop,
+                    1,
+                    jnp.where(w_probs <= 1.0 - cfg.online_adapt_min_prop, 0, 255),
+                ).astype(jnp.int32)
+                k_w = jax.random.fold_in(k_ona, window_id)
+                params, _ = self._jit_ona_ft(
+                    meta_params,
+                    k_w,
+                    support_img,
+                    support_label,
+                    window,
+                    pseudo,
+                    params,
+                )
+            start = end
+            window_id += 1
+        return probs

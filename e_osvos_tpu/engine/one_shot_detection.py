@@ -1,0 +1,219 @@
+"""One-shot evaluation for the detection model family (Mask R-CNN).
+
+Reference flow (/root/reference/src/util/evaluate.py + helper_func.py
+run_loader:67-159): fine-tune Mask R-CNN on frame 0 (mask targets
+synthesized in-forward), then propagate frame-by-frame feeding the PREVIOUS
+frame's predicted mask boxes into the RPN as augmented proposals
+(helper_func.py:108-126 → mask_rcnn.py:251-332) — the tracking prior.
+Empty-mask fallback switches to plain RPN proposals (helper_func.py:90-95).
+
+TPU-native design: the fine-tune loop is the shared ``meta_optim.fine_tune``
+scan (augmented support batches generated on device); frame propagation is a
+``lax.scan`` over the window with the previous-frame boxes as carry — the
+whole window (inference + tracking prior) is ONE compiled program instead of
+a per-frame Python loop."""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Any, Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from e_osvos_tpu.data import transforms
+from e_osvos_tpu.data.datasets import binarize_label
+from e_osvos_tpu.engine.one_shot import OneShotConfig, merge_objects
+from e_osvos_tpu.meta_optim import MetaOptimConfig, MetaParams, fine_tune
+from e_osvos_tpu.ops.boxes import masks_to_boxes
+
+
+@dataclasses.dataclass(frozen=True)
+class DetectionOneShotConfig(OneShotConfig):
+    """Adds the detection-specific knobs to the one-shot config."""
+
+    proposal_aug_mode: str = "EXTEND"  # parent_model.eval_augment_rpn_proposals_mode
+    box_from_mask_thresh: float = 0.5  # mask → next-frame box threshold
+
+
+class DetectionOneShotEvaluator:
+    """Per-sequence one-shot eval driving a MaskRCNN flax module.
+
+    ``model`` must be the MaskRCNN module (models/mask_rcnn.py); its
+    detections_per_img defines how many instances are tracked per object
+    group (1 in single_id VOS mode, evaluate.py:106-107)."""
+
+    def __init__(
+        self,
+        model,
+        meta_cfg: MetaOptimConfig,
+        cfg: DetectionOneShotConfig,
+    ):
+        self.model = model
+        self.meta_cfg = meta_cfg
+        self.cfg = cfg
+        self._jit_ft = jax.jit(self._fine_tune)
+        self._jit_window = jax.jit(self._segment_window)
+
+    # -- fine-tune ----------------------------------------------------------
+
+    def _loss_fn(self, params, batch):
+        cfg = self.cfg
+        key, img, label = batch
+        k_aug, k_sample = jax.random.split(key)
+        imgs, labels = transforms.augment_support_batch(
+            k_aug, img.astype(jnp.float32), label, cfg.batch_size, cfg.augment
+        )
+        imgs = transforms.normalize(imgs, cfg.normalize_mode)
+        masks = jnp.where(labels == 255, 255.0, labels.astype(jnp.float32))
+        gt_masks = masks[:, None]  # [B,1,H,W] one object per group
+        gt_valid = jnp.any((gt_masks == 1), axis=(2, 3))
+        total, _ = self.model.apply(
+            params,
+            imgs,
+            gt_masks,
+            gt_valid,
+            train=True,
+            rngs={"sample": k_sample},
+        )
+        return total
+
+    def _fine_tune(self, meta_params, key, img, label, init_params):
+        cfg = self.cfg
+        keys = jax.random.split(key, cfg.num_epochs)
+        batches = (
+            keys,
+            jnp.broadcast_to(img, (cfg.num_epochs,) + img.shape),
+            jnp.broadcast_to(label, (cfg.num_epochs,) + label.shape),
+        )
+        return fine_tune(
+            self.meta_cfg,
+            self._loss_fn,
+            meta_params,
+            batches,
+            init_params=init_params,
+            early_stop_patience=cfg.early_stop_patience,
+        )
+
+    # -- propagation --------------------------------------------------------
+
+    def _segment_window(self, params, frames, init_boxes, init_valid, key):
+        """lax.scan over frames with previous-frame boxes as carry.
+
+        frames [T,H,W,3] raw; init_boxes [K,4]. Returns (probs [T,H,W],
+        boxes [T,K,4], valid [T,K])."""
+        cfg = self.cfg
+
+        def step(carry, inp):
+            prev_boxes, prev_valid, k = carry
+            frame = inp
+            k, k_s = jax.random.split(k)
+            img = transforms.normalize(
+                frame.astype(jnp.float32), cfg.normalize_mode
+            )[None]
+            any_prev = jnp.any(prev_valid)
+            det = self.model.apply(
+                params,
+                img,
+                prev_boxes=prev_boxes[None],
+                prev_valid=(prev_valid & any_prev)[None],
+                proposal_aug_mode=cfg.proposal_aug_mode,
+                rngs={"sample": k_s},
+            )
+            # merged fg probability over the K detections
+            probs = jnp.max(det.masks[0], axis=0)
+            # next-frame boxes from the predicted mask (helper_func.py:117-126)
+            new_boxes, new_valid = masks_to_boxes(
+                (det.masks[0] >= cfg.box_from_mask_thresh).astype(jnp.float32)
+            )
+            new_valid = new_valid & det.valid[0]
+            # empty-mask fallback: keep previous boxes
+            keep_prev = ~jnp.any(new_valid)
+            boxes = jnp.where(keep_prev, prev_boxes, new_boxes)
+            valid = jnp.where(keep_prev, prev_valid, new_valid)
+            return (boxes, valid, k), (probs, det.boxes[0], det.valid[0])
+
+        (_, _, _), (probs, boxes, valid) = jax.lax.scan(
+            step, (init_boxes, init_valid, key), frames
+        )
+        return probs, boxes, valid
+
+    # -- host driver ---------------------------------------------------------
+
+    def eval_sequence(
+        self,
+        index,
+        seq_name: str,
+        meta_params: MetaParams,
+        key,
+        init_params: Any = None,
+    ) -> Dict[str, Any]:
+        from e_osvos_tpu.ops import metrics as metric_ops
+
+        cfg = self.cfg
+        seq = index.sequences[seq_name]
+        T = len(seq)
+        frames = jnp.asarray(
+            np.stack([index.get_image(seq_name, t) for t in range(T)])
+        )
+        K = self.model.roi.detections_per_img
+
+        obj_probs = []
+        for gi, group in enumerate(seq.object_groups):
+            gkey = jax.random.fold_in(key, gi)
+            sf = group.support_frame
+            gt = index.get_label(seq_name, sf)
+            label = jnp.asarray(binarize_label(gt, group.object_ids), jnp.int32)
+
+            k_ft, k_run = jax.random.split(gkey)
+            params, _ = self._jit_ft(
+                meta_params, k_ft, frames[sf], label, init_params
+            )
+            boxes0, valid0 = masks_to_boxes(
+                (label == 1).astype(jnp.float32)[None]
+            )
+            boxes0 = jnp.tile(boxes0, (K, 1))[:K]
+            valid0 = jnp.tile(valid0, (K,))[:K]
+
+            probs = jnp.zeros((T,) + frames.shape[1:3], jnp.float32)
+            probs = probs.at[sf].set((label == 1).astype(jnp.float32))
+            if sf + 1 < T:
+                w_probs, _, _ = self._jit_window(
+                    params, frames[sf + 1 :], boxes0, valid0, k_run
+                )
+                probs = probs.at[sf + 1 :].set(w_probs)
+            obj_probs.append(probs)
+
+        probs = jnp.stack(obj_probs)
+        merged = merge_objects(probs, cfg.threshold)
+
+        j_means, f_means = [], []
+        for gi, group in enumerate(seq.object_groups):
+            js, fs = [], []
+            for t in range(1, T):
+                gt = index.get_label(seq_name, t)
+                if gt is None:
+                    continue
+                gt_bin = binarize_label(gt, group.object_ids)
+                pred = np.asarray(merged[t]) == (gi + 1)
+                valid = gt_bin != 255
+                js.append(float(metric_ops.jaccard(
+                    jnp.asarray(pred & valid), jnp.asarray((gt_bin == 1) & valid)
+                )))
+                fs.append(float(metric_ops.boundary_f_measure(
+                    jnp.asarray(pred & valid), jnp.asarray((gt_bin == 1) & valid)
+                )))
+            j_means.append(float(np.mean(js)) if js else float("nan"))
+            f_means.append(float(np.mean(fs)) if fs else float("nan"))
+
+        return {
+            "seq": seq_name,
+            "merged": np.asarray(merged),
+            "probs": np.asarray(probs),
+            "J_per_object": j_means,
+            "F_per_object": f_means,
+            "J_mean": float(np.nanmean(j_means)) if j_means else float("nan"),
+            "F_mean": float(np.nanmean(f_means)) if f_means else float("nan"),
+        }

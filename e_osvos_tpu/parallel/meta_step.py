@@ -1,0 +1,292 @@
+"""SPMD meta-training step: task-parallel meta-gradients over a device mesh.
+
+Reference mechanism being replaced (/root/reference/src/train_meta.py:155-201,
+src/util/meta_run.py:83-243; SURVEY.md §2.5): one OS process per meta-shard,
+each running the inner fine-tune loop for its tasks and ``+=``-ing gradients
+into shared-memory CPU tensors, with the parent polling a Manager dict,
+dividing by ``meta_batch_size``, clipping, and stepping a vendored RAdam
+(train_meta.py:359-373).
+
+TPU-native design: ONE jitted SPMD program. The task batch is sharded over
+the mesh's ``task`` axis with ``shard_map``; each device runs its local tasks
+sequentially under ``lax.scan`` (matching the reference's per-process
+sequential task loop, and keeping peak memory at one-task footprint); the
+gradient all-reduce is a single ``lax.psum`` over ICI; the outer update is
+optax RAdam (per-group learning rates via ``multi_transform``) fused into the
+same program. No polling, no shared memory, no process boundary.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Any, Callable, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+from jax import shard_map
+from jax.sharding import Mesh, PartitionSpec as P
+
+from e_osvos_tpu.data import transforms
+from e_osvos_tpu.meta_optim import (
+    MetaOptimConfig,
+    MetaParams,
+    clamp_meta_params,
+    meta_grads,
+)
+from e_osvos_tpu.ops import losses as loss_ops
+from e_osvos_tpu.parallel.mesh import TASK_AXIS
+
+Array = jax.Array
+
+
+@dataclasses.dataclass(frozen=True)
+class OuterOptimConfig:
+    """Outer (meta) optimizer config. Parity: ``meta_optim_optim_cfg``
+    (cfgs/meta.yaml:43-49) + the per-group RAdam construction
+    (train_meta.py:110-127)."""
+
+    model_init_lr: float = 1e-5
+    log_init_lr_lr: float = 1e-5
+    lr: float = 1e-3  # any future non-init meta-params
+    model_init_weight_decay: float = 1e-3
+    grad_clip: Optional[float] = None
+
+
+@dataclasses.dataclass(frozen=True)
+class MetaStepConfig:
+    """Inner-loop shape of one meta step. Parity: num_epochs.train=5,
+    bptt_epochs=5, batch_sizes.train (cfgs/meta.yaml:24-27,128-131)."""
+
+    num_epochs: int = 5
+    bptt_epochs: int = 5
+    train_batch_size: int = 3
+    loss_func: str = "dice"
+    normalize_mode: str = "davis"
+    # remat the inner steps (jax.checkpoint) — required for 480p BPTT memory,
+    # off for small-shape tests where compile time dominates
+    remat: bool = True
+    augment: transforms.AugmentConfig = dataclasses.field(
+        default_factory=transforms.AugmentConfig
+    )
+
+
+def make_outer_optimizer(
+    cfg: OuterOptimConfig, meta_params: MetaParams
+) -> optax.GradientTransformation:
+    """Per-group RAdam over the meta-parameters.
+
+    The reference builds three RAdam param groups with distinct lrs and
+    weight decay on the learned init (train_meta.py:110-127, radam.py:12-92);
+    optax expresses the same as ``multi_transform`` over labeled subtrees.
+    Elementwise gradient clipping (train_meta.py:361-366 ``clamp_``) becomes
+    ``optax.clip`` at the chain head.
+    """
+
+    def group(lr: float, weight_decay: float = 0.0):
+        chain = []
+        if cfg.grad_clip is not None:
+            chain.append(optax.clip(cfg.grad_clip))
+        if weight_decay:
+            chain.append(optax.add_decayed_weights(weight_decay))
+        chain.append(optax.radam(lr))
+        return optax.chain(*chain)
+
+    labels = MetaParams(
+        model_init=jax.tree_util.tree_map(lambda _: "model_init", meta_params.model_init),
+        log_init_lr=jax.tree_util.tree_map(lambda _: "log_init_lr", meta_params.log_init_lr),
+    )
+    return optax.multi_transform(
+        {
+            "model_init": group(cfg.model_init_lr, cfg.model_init_weight_decay),
+            "log_init_lr": group(cfg.log_init_lr_lr),
+        },
+        labels,
+    )
+
+
+class MetaStepOut(NamedTuple):
+    meta_params: MetaParams
+    opt_state: Any
+    meta_loss: Array  # scalar mean over the meta batch
+    per_task_loss: Array  # [B]
+    train_losses: Array  # [B, num_epochs] inner-loop train losses
+
+
+def _task_fns(model_apply: Callable, cfg: MetaStepConfig):
+    """(train_loss_fn, query_loss_fn) for the inner loop.
+
+    train: augmented support copies generated ON DEVICE per step (EpochSampler
+    semantics, helper_func.py:521-545). query: plain forward on the meta
+    frames (meta_run.py:192-207)."""
+
+    def train_loss_fn(params, batch):
+        key, img, label = batch
+        imgs, labels = transforms.augment_support_batch(
+            key, img, label, cfg.train_batch_size, cfg.augment
+        )
+        imgs = transforms.normalize(imgs, cfg.normalize_mode)
+        valid = labels != 255
+        gts = jnp.where(valid, labels, 0).astype(jnp.float32)
+        logits = model_apply(params, imgs)[..., 0]
+        return loss_ops.compute_loss(cfg.loss_func, logits, gts, valid)
+
+    def query_loss_fn(params, batch):
+        imgs, labels = batch
+        imgs = transforms.normalize(imgs, cfg.normalize_mode)
+        valid = labels != 255
+        gts = jnp.where(valid, labels, 0).astype(jnp.float32)
+        logits = model_apply(params, imgs)[..., 0]
+        return loss_ops.compute_loss(cfg.loss_func, logits, gts, valid)
+
+    return train_loss_fn, query_loss_fn
+
+
+def make_meta_step(
+    model_apply: Callable,
+    meta_cfg: MetaOptimConfig,
+    step_cfg: MetaStepConfig,
+    outer_cfg: OuterOptimConfig,
+    mesh: Mesh,
+    meta_batch_size: int,
+) -> Callable[[MetaParams, Any, Any], MetaStepOut]:
+    """Build the jitted SPMD meta step.
+
+    The returned function takes (meta_params, opt_state, task_batch) where
+    ``task_batch`` leaves have leading dim ``meta_batch_size`` sharded over
+    the mesh ``task`` axis (mesh.shard_task_batch), and returns updated
+    meta-params/opt-state plus replicated metrics.
+    """
+    return MetaStep(
+        model_apply, meta_cfg, step_cfg, outer_cfg, mesh, meta_batch_size
+    )
+
+
+class MetaStep:
+    """Callable SPMD meta step with an optax outer state.
+
+    Usage::
+
+        step = make_meta_step(...)
+        opt_state = step.init(meta_params)
+        jitted = jax.jit(step)   # or call directly; shard_map handles layout
+        out = jitted(meta_params, opt_state, task_batch)
+    """
+
+    def __init__(
+        self,
+        model_apply: Callable,
+        meta_cfg: MetaOptimConfig,
+        step_cfg: MetaStepConfig,
+        outer_cfg: OuterOptimConfig,
+        mesh: Mesh,
+        meta_batch_size: int,
+    ):
+        n_shards = mesh.shape[TASK_AXIS]
+        if meta_batch_size % n_shards != 0:
+            raise ValueError(
+                f"meta_batch_size {meta_batch_size} not divisible by task-axis "
+                f"size {n_shards} (parity: train_meta.py:150 divisibility assert)"
+            )
+        self.meta_cfg = meta_cfg
+        self.step_cfg = step_cfg
+        self.outer_cfg = outer_cfg
+        self.mesh = mesh
+        self.meta_batch_size = meta_batch_size
+        self._outer_tx: Optional[optax.GradientTransformation] = None
+        self._build(model_apply)
+
+    def init(self, meta_params: MetaParams):
+        self._outer_tx = make_outer_optimizer(self.outer_cfg, meta_params)
+        return self._outer_tx.init(meta_params)
+
+    def _build(self, model_apply: Callable):
+        meta_cfg = self.meta_cfg
+        step_cfg = self.step_cfg
+        mesh = self.mesh
+        meta_batch_size = self.meta_batch_size
+        train_loss_fn, query_loss_fn = _task_fns(model_apply, step_cfg)
+
+        def task_grads(meta_params: MetaParams, task):
+            s_img, s_label, q_imgs, q_labels, seed = task
+            key = jax.random.PRNGKey(seed)
+            keys = jax.random.split(key, step_cfg.num_epochs)
+            train_batches = (
+                keys,
+                jnp.broadcast_to(s_img, (step_cfg.num_epochs,) + s_img.shape),
+                jnp.broadcast_to(s_label, (step_cfg.num_epochs,) + s_label.shape),
+            )
+            loss, grads, tr_losses = meta_grads(
+                meta_cfg,
+                train_loss_fn,
+                query_loss_fn,
+                meta_params,
+                train_batches,
+                (q_imgs, q_labels),
+                bptt_epochs=step_cfg.bptt_epochs,
+                remat=step_cfg.remat,
+            )
+            return loss, grads, tr_losses
+
+        def local_shard(meta_params: MetaParams, batch):
+            """Runs on each task shard: sequential scan over local tasks,
+            psum-all-reduce of the gradient sum (the shared-memory ``+=`` +
+            divide of train_meta.py:361-366, now on ICI)."""
+
+            zero_grads = jax.tree_util.tree_map(jnp.zeros_like, meta_params)
+
+            def body(carry, task):
+                loss_sum, grad_sum = carry
+                loss, grads, tr_losses = task_grads(meta_params, task)
+                grad_sum = jax.tree_util.tree_map(jnp.add, grad_sum, grads)
+                return (loss_sum + loss, grad_sum), (loss, tr_losses)
+
+            (loss_sum, grad_sum), (local_losses, local_tr) = jax.lax.scan(
+                body, (jnp.asarray(0.0, jnp.float32), zero_grads), batch
+            )
+            loss_sum = jax.lax.psum(loss_sum, TASK_AXIS)
+            grad_sum = jax.lax.psum(grad_sum, TASK_AXIS)
+            all_losses = jax.lax.all_gather(local_losses, TASK_AXIS, tiled=True)
+            all_tr = jax.lax.all_gather(local_tr, TASK_AXIS, tiled=True)
+            inv_b = 1.0 / meta_batch_size
+            grads = jax.tree_util.tree_map(lambda g: g * inv_b, grad_sum)
+            return loss_sum * inv_b, grads, all_losses, all_tr
+
+        batch_spec = (P(TASK_AXIS),) * 5
+
+        self._sharded_grads = shard_map(
+            local_shard,
+            mesh=mesh,
+            in_specs=(P(), batch_spec),
+            out_specs=(P(), P(), P(), P()),
+            # scan carries inside the per-shard task loop mix replicated
+            # meta-params with task-varying batches; skip the
+            # varying-manual-axes check rather than pvary-annotating every
+            # carry in the meta_optim internals
+            check_vma=False,
+        )
+
+    def __call__(self, meta_params: MetaParams, opt_state, task_batch) -> MetaStepOut:
+        if self._outer_tx is None:
+            raise RuntimeError("call .init(meta_params) before stepping")
+        batch = (
+            task_batch.support_img.astype(jnp.float32),
+            task_batch.support_label.astype(jnp.int32),
+            task_batch.query_imgs.astype(jnp.float32),
+            task_batch.query_labels.astype(jnp.int32),
+            task_batch.seeds.astype(jnp.uint32),
+        )
+        mean_loss, grads, per_task, train_losses = self._sharded_grads(
+            meta_params, batch
+        )
+        updates, opt_state = self._outer_tx.update(grads, opt_state, meta_params)
+        meta_params = optax.apply_updates(meta_params, updates)
+        meta_params = clamp_meta_params(self.meta_cfg, meta_params)
+        return MetaStepOut(
+            meta_params=meta_params,
+            opt_state=opt_state,
+            meta_loss=mean_loss,
+            per_task_loss=per_task,
+            train_losses=train_losses,
+        )

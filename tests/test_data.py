@@ -1,0 +1,192 @@
+"""Data layer tests: on-device transforms, synthetic fixture, DAVIS indexer
+on a temp directory tree (SURVEY.md §4)."""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from PIL import Image
+
+from e_osvos_tpu.data import (
+    DAVISIndex,
+    SyntheticVOSIndex,
+    binarize_label,
+    transforms,
+)
+
+
+class TestTransforms:
+    def test_normalize_modes(self):
+        img = jnp.full((4, 4, 3), 255.0)
+        unit = transforms.normalize(img, "unit")
+        np.testing.assert_allclose(np.asarray(unit), 1.0)
+        davis = transforms.normalize(img, "davis")
+        np.testing.assert_allclose(
+            np.asarray(davis[0, 0]),
+            255.0 - np.asarray(transforms.DAVIS_MEAN_RGB),
+            rtol=1e-6,
+        )
+
+    def test_identity_affine(self):
+        img = jnp.arange(5 * 7 * 3, dtype=jnp.float32).reshape(5, 7, 3)
+        label = (jnp.arange(5 * 7) % 2).reshape(5, 7).astype(jnp.int32)
+        eye = jnp.array([[1.0, 0.0, 0.0], [0.0, 1.0, 0.0]])
+        out_img, out_label = transforms.affine_warp(img, label, eye)
+        np.testing.assert_allclose(np.asarray(out_img), np.asarray(img), atol=1e-4)
+        np.testing.assert_array_equal(np.asarray(out_label), np.asarray(label))
+
+    def test_flip_matrix_reverses_columns(self):
+        img = jnp.arange(4 * 4 * 1, dtype=jnp.float32).reshape(4, 4, 1)
+        label = jnp.arange(16).reshape(4, 4).astype(jnp.int32)
+        flip = jnp.array([[-1.0, 0.0, 0.0], [0.0, 1.0, 0.0]])
+        out_img, out_label = transforms.affine_warp(img, label, flip)
+        np.testing.assert_allclose(
+            np.asarray(out_img[:, :, 0]), np.asarray(img[:, ::-1, 0]), atol=1e-4
+        )
+        np.testing.assert_array_equal(
+            np.asarray(out_label), np.asarray(label[:, ::-1])
+        )
+
+    def test_augment_border_becomes_ignore(self):
+        """A strong zoom-out must introduce 255-labeled border pixels."""
+        cfg = transforms.AugmentConfig(
+            scale_min=0.5, scale_max=0.5, rot_deg=0.0, flip_prob=0.0,
+            brightness=0, contrast=0, saturation=0,
+        )
+        img = jnp.ones((16, 16, 3)) * 100.0
+        label = jnp.ones((16, 16), jnp.int32)
+        out_img, out_label = transforms.augment_frame(
+            jax.random.key(0), img, label, cfg
+        )
+        assert (np.asarray(out_label) == 255).any()
+        assert (np.asarray(out_label) == 1).any()
+
+    def test_support_batch_augmentations_differ(self):
+        img = jnp.asarray(
+            np.random.RandomState(0).randint(0, 255, (16, 16, 3)), jnp.float32
+        )
+        label = jnp.zeros((16, 16), jnp.int32)
+        imgs, labels = transforms.augment_support_batch(
+            jax.random.key(1), img, label, 3
+        )
+        assert imgs.shape == (3, 16, 16, 3)
+        assert labels.shape == (3, 16, 16)
+        assert not np.allclose(np.asarray(imgs[0]), np.asarray(imgs[1]))
+
+    def test_determinism_same_key(self):
+        img = jnp.ones((8, 8, 3)) * 50
+        label = jnp.zeros((8, 8), jnp.int32)
+        a = transforms.augment_frame(jax.random.key(7), img, label)
+        b = transforms.augment_frame(jax.random.key(7), img, label)
+        np.testing.assert_array_equal(np.asarray(a[0]), np.asarray(b[0]))
+
+    def test_pad_to(self):
+        img = jnp.ones((5, 6, 3))
+        label = jnp.ones((5, 6), jnp.int32)
+        pi, pl, valid = transforms.pad_to(img, label, (8, 8))
+        assert pi.shape == (8, 8, 3)
+        assert int(pl[7, 7]) == 255
+        assert not bool(valid[7, 7]) and bool(valid[4, 5])
+
+    def test_random_crop_shape(self):
+        img = jnp.zeros((10, 12, 3))
+        label = jnp.zeros((10, 12), jnp.int32)
+        ci, cl = transforms.random_crop(jax.random.key(0), img, label, (4, 5))
+        assert ci.shape == (4, 5, 3)
+        assert cl.shape == (4, 5)
+
+
+class TestSynthetic:
+    def test_sequence_layout(self):
+        idx = SyntheticVOSIndex(num_sequences=2, num_frames=3, num_objects=2)
+        assert len(idx.sequences) == 2
+        seq = idx.sequences["seq00"]
+        assert len(seq) == 3
+        assert seq.num_objects == 2
+        assert len(seq.object_groups) == 2  # single_id mode
+        img = idx.get_image("seq00", 0)
+        label = idx.get_label("seq00", 0)
+        assert img.shape == (64, 64, 3) and img.dtype == np.uint8
+        assert set(np.unique(label)) <= {0, 1, 2}
+
+    def test_object_moves(self):
+        idx = SyntheticVOSIndex(num_sequences=1, num_frames=4, seed=3)
+        l0 = idx.get_label("seq00", 0)
+        l3 = idx.get_label("seq00", 3)
+        assert (l0 == 1).sum() > 0 and (l3 == 1).sum() > 0
+        assert not np.array_equal(l0, l3)
+
+    def test_all_mode_single_group(self):
+        idx = SyntheticVOSIndex(num_objects=3, multi_object="all")
+        groups = idx.sequences["seq00"].object_groups
+        assert len(groups) == 1
+        assert groups[0].object_ids == (1, 2, 3)
+
+
+class TestBinarize:
+    def test_keep_ignore(self):
+        label = np.array([[0, 1, 2], [255, 1, 0]], np.uint8)
+        out = binarize_label(label, [1])
+        np.testing.assert_array_equal(
+            out, np.array([[0, 1, 0], [255, 1, 0]], np.uint8)
+        )
+
+    def test_group_of_two(self):
+        label = np.array([[0, 1, 2]], np.uint8)
+        out = binarize_label(label, [1, 2])
+        np.testing.assert_array_equal(out, np.array([[0, 1, 1]], np.uint8))
+
+
+@pytest.fixture()
+def davis_tree(tmp_path):
+    """Minimal DAVIS-2017 directory tree with 2 sequences x 3 frames."""
+    root = tmp_path / "DAVIS"
+    for seq, n_obj in [("bear", 1), ("dogs", 2)]:
+        jd = root / "JPEGImages" / "480p" / seq
+        ad = root / "Annotations" / "480p" / seq
+        jd.mkdir(parents=True)
+        ad.mkdir(parents=True)
+        for t in range(3):
+            Image.fromarray(
+                np.random.RandomState(t).randint(0, 255, (32, 48, 3), dtype=np.uint8)
+            ).save(jd / f"{t:05d}.jpg")
+            lbl = np.zeros((32, 48), np.uint8)
+            for o in range(n_obj):
+                lbl[5 + 8 * o : 10 + 8 * o, 10:20] = o + 1
+            im = Image.fromarray(lbl, mode="P")
+            im.putpalette([0, 0, 0, 128, 0, 0, 0, 128, 0] + [0] * 759)
+            im.save(ad / f"{t:05d}.png")
+    sets = root / "ImageSets" / "2017"
+    sets.mkdir(parents=True)
+    (sets / "val.txt").write_text("bear\ndogs\n")
+    return str(root)
+
+
+class TestDAVISIndex:
+    def test_index(self, davis_tree):
+        idx = DAVISIndex(davis_tree, split="val")
+        assert set(idx.sequences) == {"bear", "dogs"}
+        bear = idx.sequences["bear"]
+        assert len(bear) == 3
+        assert bear.num_objects == 1
+        dogs = idx.sequences["dogs"]
+        assert dogs.num_objects == 2
+        assert len(dogs.object_groups) == 2
+
+    def test_all_mode(self, davis_tree):
+        idx = DAVISIndex(davis_tree, split="val", multi_object="all")
+        assert len(idx.sequences["dogs"].object_groups) == 1
+        assert idx.sequences["dogs"].object_groups[0].object_ids == (1, 2)
+
+    def test_decode(self, davis_tree):
+        idx = DAVISIndex(davis_tree, split="val")
+        img = idx.get_image("bear", 1)
+        assert img.shape == (32, 48, 3)
+        lbl = idx.get_label("dogs", 2)
+        assert set(np.unique(lbl)) == {0, 1, 2}
+
+    def test_explicit_sequences(self, davis_tree):
+        idx = DAVISIndex(davis_tree, sequences=["bear"])
+        assert list(idx.sequences) == ["bear"]

@@ -1,0 +1,178 @@
+"""Unit tests for the detection ops: boxes, padded NMS, ROI-align
+(SURVEY.md §2.4 native work items, rebuilt as static-shape XLA)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from e_osvos_tpu.ops.boxes import (
+    box_area,
+    box_iou,
+    clip_boxes,
+    decode_boxes,
+    encode_boxes,
+    jitter_boxes,
+    masks_to_boxes,
+    remove_small_boxes_mask,
+)
+from e_osvos_tpu.ops.nms import batched_nms, nms
+from e_osvos_tpu.ops.roi_align import (
+    fpn_level_assignment,
+    multiscale_roi_align,
+    roi_align,
+)
+
+
+class TestBoxes:
+    def test_iou_golden(self):
+        a = jnp.array([[0, 0, 10, 10]], jnp.float32)
+        b = jnp.array([[0, 0, 10, 10], [5, 5, 15, 15], [20, 20, 30, 30]],
+                      jnp.float32)
+        iou = np.asarray(box_iou(a, b))[0]
+        np.testing.assert_allclose(iou, [1.0, 25 / 175, 0.0], rtol=1e-6)
+
+    def test_area_and_degenerate(self):
+        boxes = jnp.array([[0, 0, 4, 5], [3, 3, 2, 6]], jnp.float32)
+        np.testing.assert_allclose(np.asarray(box_area(boxes)), [20.0, 0.0])
+
+    def test_encode_decode_roundtrip(self):
+        key = jax.random.PRNGKey(0)
+        p = jax.random.uniform(key, (16, 2)) * 50
+        proposals = jnp.concatenate([p, p + 10 + jax.random.uniform(key, (16, 2)) * 40], -1)
+        gt = proposals + jax.random.normal(jax.random.PRNGKey(1), (16, 4)) * 3
+        gt = jnp.concatenate(
+            [jnp.minimum(gt[:, :2], gt[:, 2:] - 1), jnp.maximum(gt[:, 2:], gt[:, :2] + 1)],
+            -1,
+        )
+        deltas = encode_boxes(gt, proposals)
+        rec = decode_boxes(deltas, proposals)
+        np.testing.assert_allclose(np.asarray(rec), np.asarray(gt), rtol=1e-4,
+                                   atol=1e-3)
+
+    def test_clip(self):
+        boxes = jnp.array([[-5, -5, 200, 90]], jnp.float32)
+        out = np.asarray(clip_boxes(boxes, (100, 150)))
+        np.testing.assert_allclose(out, [[0, 0, 150, 90]])
+
+    def test_masks_to_boxes(self):
+        m = np.zeros((3, 20, 30), np.uint8)
+        m[0, 5:10, 7:15] = 1
+        m[1, 0:1, 0:1] = 1
+        boxes, valid = masks_to_boxes(jnp.asarray(m))
+        np.testing.assert_allclose(np.asarray(boxes[0]), [7, 5, 15, 10])
+        np.testing.assert_allclose(np.asarray(boxes[1]), [0, 0, 1, 1])
+        assert list(np.asarray(valid)) == [True, True, False]
+        np.testing.assert_allclose(np.asarray(boxes[2]), [0, 0, 0, 0])
+
+    def test_jitter_bounded(self):
+        boxes = jnp.array([[10, 10, 30, 50]], jnp.float32)
+        out = np.asarray(jitter_boxes(jax.random.PRNGKey(0), boxes, rel=0.1))
+        # width 20, height 40 → max abs jitter 2 / 4
+        assert abs(out[0, 0] - 10) <= 2 and abs(out[0, 2] - 30) <= 2
+        assert abs(out[0, 1] - 10) <= 4 and abs(out[0, 3] - 50) <= 4
+
+    def test_remove_small(self):
+        boxes = jnp.array([[0, 0, 5, 5], [0, 0, 1, 10]], jnp.float32)
+        np.testing.assert_array_equal(
+            np.asarray(remove_small_boxes_mask(boxes, 2.0)), [True, False]
+        )
+
+
+class TestNMS:
+    def test_suppresses_overlaps_keeps_best(self):
+        boxes = jnp.array(
+            [[0, 0, 10, 10], [1, 1, 11, 11], [50, 50, 60, 60]], jnp.float32
+        )
+        scores = jnp.array([0.9, 0.95, 0.5])
+        idx, ok = nms(boxes, scores, iou_threshold=0.5, max_out=3)
+        kept = [int(i) for i, o in zip(np.asarray(idx), np.asarray(ok)) if o]
+        assert kept == [1, 2]
+        assert int(np.asarray(ok).sum()) == 2
+        assert int(np.asarray(idx)[2]) == -1
+
+    def test_threshold_boundary(self):
+        # IoU exactly at threshold is NOT suppressed (strict >)
+        boxes = jnp.array([[0, 0, 10, 10], [5, 0, 15, 10]], jnp.float32)
+        scores = jnp.array([0.9, 0.8])
+        iou = float(np.asarray(box_iou(boxes[:1], boxes[1:]))[0, 0])
+        idx, ok = nms(boxes, scores, iou_threshold=iou, max_out=2)
+        assert int(np.asarray(ok).sum()) == 2
+
+    def test_valid_mask_excludes_padding(self):
+        boxes = jnp.array([[0, 0, 10, 10], [100, 100, 110, 110]], jnp.float32)
+        scores = jnp.array([0.5, 0.99])
+        valid = jnp.array([True, False])
+        idx, ok = nms(boxes, scores, 0.5, max_out=2, valid=valid)
+        kept = [int(i) for i, o in zip(np.asarray(idx), np.asarray(ok)) if o]
+        assert kept == [0]
+
+    def test_batched_ids_do_not_cross_suppress(self):
+        boxes = jnp.array([[0, 0, 10, 10], [0, 0, 10, 10]], jnp.float32)
+        scores = jnp.array([0.9, 0.8])
+        ids = jnp.array([0, 1])
+        _, ok = batched_nms(boxes, scores, ids, 0.5, max_out=2)
+        assert int(np.asarray(ok).sum()) == 2
+
+    def test_jittable(self):
+        f = jax.jit(lambda b, s: nms(b, s, 0.5, 4))
+        boxes = jax.random.uniform(jax.random.PRNGKey(0), (8, 2)) * 20
+        boxes = jnp.concatenate([boxes, boxes + 10], -1)
+        scores = jax.random.uniform(jax.random.PRNGKey(1), (8,))
+        idx, ok = f(boxes, scores)
+        assert idx.shape == (4,)
+
+
+class TestRoiAlign:
+    def test_identity_cell_average(self):
+        """A 2x2 box aligned to the grid with output 1x1 and sampling 2
+        averages exactly the 4 covered pixel centers (linear ramp field)."""
+        h = w = 8
+        yy, xx = np.mgrid[0:h, 0:w].astype(np.float32)
+        feat = jnp.asarray((yy + xx)[..., None])
+        # box covering pixel centers (1..2, 1..2): xyxy = (1, 1, 3, 3) with
+        # aligned=True half-pixel convention → samples at 1.0,1.5,...
+        boxes = jnp.array([[1.0, 1.0, 3.0, 3.0]])
+        out = roi_align(feat, boxes, (1, 1), spatial_scale=1.0,
+                        sampling_ratio=2)
+        # samples at (1.0,2.0)x(1.0,2.0) of y+x field → mean = 3.0
+        np.testing.assert_allclose(np.asarray(out)[0, 0, 0, 0], 3.0, rtol=1e-5)
+
+    def test_constant_field_invariance(self):
+        feat = jnp.full((16, 16, 3), 7.0)
+        boxes = jnp.array([[2.3, 4.1, 9.7, 12.2], [0.0, 0.0, 15.0, 15.0]])
+        out = roi_align(feat, boxes, (7, 7), sampling_ratio=2)
+        np.testing.assert_allclose(np.asarray(out), 7.0, rtol=1e-5)
+
+    def test_spatial_scale(self):
+        """Box in image coords maps onto a stride-2 feature map."""
+        h = w = 8
+        yy, _ = np.mgrid[0:h, 0:w].astype(np.float32)
+        feat = jnp.asarray(yy[..., None])
+        big = roi_align(feat, jnp.array([[0, 0, 16, 16]]), (2, 2),
+                        spatial_scale=0.5, sampling_ratio=1)
+        # rows sampled at y = 1.5 and 5.5 → values 1.5, 5.5
+        np.testing.assert_allclose(
+            np.asarray(big)[0, :, 0, 0], [1.5, 5.5], rtol=1e-5
+        )
+
+    def test_level_assignment(self):
+        boxes = jnp.array(
+            [
+                [0, 0, 56, 56],     # small → level 0
+                [0, 0, 224, 224],   # canonical → level 2
+                [0, 0, 900, 900],   # huge → clamped to 3
+            ],
+            jnp.float32,
+        )
+        lv = np.asarray(fpn_level_assignment(boxes, 4))
+        np.testing.assert_array_equal(lv, [0, 2, 3])
+
+    def test_multiscale_selects_per_roi(self):
+        feats = [jnp.full((256 // (2**i), 256 // (2**i), 1), float(i))
+                 for i in range(4)]
+        scales = [1.0 / (2**i) for i in range(4)]
+        boxes = jnp.array([[0, 0, 56, 56], [0, 0, 224, 224]], jnp.float32)
+        out = multiscale_roi_align(feats, boxes, (2, 2), scales)
+        np.testing.assert_allclose(np.asarray(out)[0], 0.0)
+        np.testing.assert_allclose(np.asarray(out)[1], 2.0)

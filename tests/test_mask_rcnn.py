@@ -1,0 +1,203 @@
+"""Mask R-CNN smoke + behavior tests (tiny backbone, small images).
+
+Covers SURVEY.md §2.2's MaskRCNN inventory: train loss dict (objectness /
+rpn-box / classifier / box-reg / mask), fixed-size detection output with
+pasted masks, and the eval-time proposal-augmentation tracking prior."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from e_osvos_tpu.models import MaskRCNN, RoIConfig, RPNConfig
+from e_osvos_tpu.models.fpn import FPN, upsample2x_nearest
+from e_osvos_tpu.models.rpn import (
+    RPNConfig as _RPNConfig,
+    assign_rpn_targets,
+    augment_proposals_with_targets,
+    generate_anchors,
+    Proposals,
+)
+
+SIZE = 64
+
+TINY_RPN = RPNConfig(
+    anchor_sizes=(8, 16, 32, 64, 128),
+    pre_nms_top_n=64,
+    post_nms_top_n=32,
+    batch_size_per_image=32,
+)
+TINY_ROI = RoIConfig(batch_size_per_image=16, detections_per_img=2)
+
+
+def tiny_model():
+    return MaskRCNN(arch="resnet10", backbone_norm="group4",
+                    rpn=TINY_RPN, roi=TINY_ROI)
+
+
+@pytest.fixture(scope="module")
+def model_and_vars():
+    model = tiny_model()
+    imgs = jnp.zeros((1, SIZE, SIZE, 3), jnp.float32)
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0), "sample": jax.random.PRNGKey(1)},
+        imgs,
+    )
+    return model, variables
+
+
+class TestFPN:
+    def test_upsample2x(self):
+        x = jnp.arange(4.0).reshape(1, 2, 2, 1)
+        up = upsample2x_nearest(x)
+        assert up.shape == (1, 4, 4, 1)
+        np.testing.assert_allclose(np.asarray(up[0, :2, :2, 0]), 0.0)
+
+    def test_pyramid_shapes(self):
+        from e_osvos_tpu.models.resnet import ResNet
+
+        x = jnp.zeros((1, SIZE, SIZE, 3))
+        backbone = ResNet(arch="resnet10", norm_layer="group4")
+        fpn = FPN(out_ch=32)
+        feats = backbone.init_with_output(jax.random.PRNGKey(0), x)[0]
+        outs, _ = fpn.init_with_output(jax.random.PRNGKey(0), feats)
+        sizes = [o.shape[1] for o in outs]
+        assert sizes == [16, 8, 4, 2, 1]
+        assert all(o.shape[-1] == 32 for o in outs)
+
+
+class TestAnchorsAndTargets:
+    def test_anchor_counts_and_coverage(self):
+        cfg = TINY_RPN
+        anchors = generate_anchors((SIZE, SIZE), cfg)
+        assert len(anchors) == 5
+        assert anchors[0].shape == ((SIZE // 4) ** 2 * 3, 4)
+        # aspect ratios preserve area approximately
+        a = anchors[0][:3]
+        areas = (a[:, 2] - a[:, 0]) * (a[:, 3] - a[:, 1])
+        np.testing.assert_allclose(areas, cfg.anchor_sizes[0] ** 2, rtol=1e-5)
+
+    def test_rpn_target_assignment(self):
+        cfg = _RPNConfig(fg_iou_thresh=0.7, bg_iou_thresh=0.3,
+                         batch_size_per_image=8)
+        anchors = jnp.array(
+            [[0, 0, 10, 10], [0, 0, 11, 10], [50, 50, 60, 60], [30, 0, 40, 10]],
+            jnp.float32,
+        )
+        gt = jnp.array([[0, 0, 10, 10]], jnp.float32)
+        tgt = assign_rpn_targets(cfg, anchors, gt, jnp.array([True]),
+                                 jax.random.PRNGKey(0))
+        labels = np.asarray(tgt.labels)
+        assert labels[0] == 1  # exact match
+        assert labels[2] == 0  # no overlap → bg
+        assert labels[3] == 0
+
+    def test_no_gt_all_background(self):
+        cfg = _RPNConfig(batch_size_per_image=4)
+        anchors = jnp.array([[0, 0, 10, 10], [5, 5, 15, 15]], jnp.float32)
+        gt = jnp.zeros((1, 4), jnp.float32)
+        tgt = assign_rpn_targets(cfg, anchors, gt, jnp.array([False]),
+                                 jax.random.PRNGKey(0))
+        assert (np.asarray(tgt.labels) <= 0).all()
+
+
+class TestProposalAugmentation:
+    def _props(self, n=8):
+        return Proposals(
+            boxes=jnp.tile(jnp.array([[0.0, 0.0, 10.0, 10.0]]), (n, 1)),
+            scores=jnp.full((n,), 0.5),
+            valid=jnp.ones((n,), bool),
+        )
+
+    def test_replace(self):
+        tb = jnp.array([[20.0, 20.0, 40.0, 40.0]])
+        out = augment_proposals_with_targets(
+            jax.random.PRNGKey(0), self._props(), tb, jnp.array([True]),
+            "REPLACE",
+        )
+        b = np.asarray(out.boxes)
+        # all boxes are jittered copies of the target (within ±10% of 20px)
+        assert (np.abs(b - np.array([20, 20, 40, 40])) <= 2.0 + 1e-5).all()
+
+    def test_extend_keeps_half(self):
+        tb = jnp.array([[20.0, 20.0, 40.0, 40.0]])
+        out = augment_proposals_with_targets(
+            jax.random.PRNGKey(0), self._props(8), tb, jnp.array([True]),
+            "EXTEND",
+        )
+        b = np.asarray(out.boxes)
+        np.testing.assert_allclose(b[:4], [[0, 0, 10, 10]] * 4)
+        assert (b[4:, 0] > 10).all()
+
+    def test_none_passthrough(self):
+        p = self._props()
+        out = augment_proposals_with_targets(
+            jax.random.PRNGKey(0), p, jnp.zeros((1, 4)), jnp.array([True]),
+            "NONE",
+        )
+        np.testing.assert_array_equal(np.asarray(out.boxes), np.asarray(p.boxes))
+
+
+class TestMaskRCNNForward:
+    def test_train_returns_loss_dict(self, model_and_vars):
+        model, variables = model_and_vars
+        imgs = jax.random.normal(jax.random.PRNGKey(2), (1, SIZE, SIZE, 3))
+        masks = np.zeros((1, 2, SIZE, SIZE), np.float32)
+        masks[0, 0, 20:40, 20:40] = 1
+        gt_valid = jnp.array([[True, False]])
+
+        total, loss_dict = model.apply(
+            variables, imgs, jnp.asarray(masks), gt_valid, train=True,
+            rngs={"sample": jax.random.PRNGKey(3)},
+        )
+        expected = {"loss_objectness", "loss_rpn_box_reg", "loss_classifier",
+                    "loss_box_reg", "loss_mask"}
+        assert set(loss_dict) == expected
+        assert np.isfinite(float(total))
+        assert all(np.isfinite(float(v)) for v in loss_dict.values())
+
+    def test_train_jit_and_grad(self, model_and_vars):
+        model, variables = model_and_vars
+        imgs = jax.random.normal(jax.random.PRNGKey(2), (1, SIZE, SIZE, 3))
+        masks = np.zeros((1, 1, SIZE, SIZE), np.float32)
+        masks[0, 0, 10:30, 10:30] = 1
+        gt_valid = jnp.array([[True]])
+
+        @jax.jit
+        def loss_fn(params):
+            total, _ = model.apply(
+                {"params": params}, imgs, jnp.asarray(masks), gt_valid,
+                train=True, rngs={"sample": jax.random.PRNGKey(3)},
+            )
+            return total
+
+        g = jax.grad(loss_fn)(variables["params"])
+        leaves = jax.tree_util.tree_leaves(g)
+        assert all(np.isfinite(np.asarray(l)).all() for l in leaves)
+        # box head must receive gradient
+        gb = jax.tree_util.tree_leaves(g["box_head"])
+        assert any(float(jnp.abs(x).max()) > 0 for x in gb)
+
+    def test_eval_fixed_size_detections(self, model_and_vars):
+        model, variables = model_and_vars
+        imgs = jax.random.normal(jax.random.PRNGKey(4), (1, SIZE, SIZE, 3))
+        det = model.apply(variables, imgs,
+                          rngs={"sample": jax.random.PRNGKey(5)})
+        K = TINY_ROI.detections_per_img
+        assert det.boxes.shape == (1, K, 4)
+        assert det.scores.shape == (1, K)
+        assert det.masks.shape == (1, K, SIZE, SIZE)
+        assert det.valid.shape == (1, K)
+        m = np.asarray(det.masks)
+        assert (m >= 0).all() and (m <= 1).all()
+
+    def test_eval_with_proposal_augmentation(self, model_and_vars):
+        model, variables = model_and_vars
+        imgs = jax.random.normal(jax.random.PRNGKey(4), (1, SIZE, SIZE, 3))
+        prev = jnp.array([[[10.0, 10.0, 40.0, 40.0]]])
+        det = model.apply(
+            variables, imgs, prev_boxes=prev,
+            prev_valid=jnp.array([[True]]), proposal_aug_mode="EXTEND",
+            rngs={"sample": jax.random.PRNGKey(5)},
+        )
+        assert det.boxes.shape[1] == TINY_ROI.detections_per_img

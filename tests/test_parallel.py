@@ -1,0 +1,198 @@
+"""SPMD meta-training tests on the 8-virtual-device CPU mesh (SURVEY.md §4:
+shard_map tests via xla_force_host_platform_device_count)."""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from e_osvos_tpu.data.synthetic import SyntheticVOSIndex
+from e_osvos_tpu.data.transforms import AugmentConfig
+from e_osvos_tpu.engine.meta_trainer import MetaTrainConfig, MetaTrainer
+from e_osvos_tpu.meta_optim import MetaOptimConfig, init_meta_params
+from e_osvos_tpu.meta_optim.tasksets import (
+    MetaTaskset,
+    MetaTasksetConfig,
+    TaskBatch,
+)
+from e_osvos_tpu.models import DeepLabV3
+from e_osvos_tpu.parallel import (
+    MetaStepConfig,
+    OuterOptimConfig,
+    make_mesh,
+    make_meta_step,
+    shard_task_batch,
+)
+from e_osvos_tpu.utils import MetricsLogger, load_checkpoint, save_checkpoint
+
+MILD = AugmentConfig(scale_min=0.95, scale_max=1.05, rot_deg=5.0,
+                     brightness=0.02, contrast=0.02, saturation=0.02,
+                     flip_prob=0.0)
+
+SIZE = (32, 32)
+
+
+def tiny_model():
+    return DeepLabV3(num_classes=1, arch="resnet10", backbone_norm="group4",
+                     head_norm="group4")
+
+
+@pytest.fixture(scope="module")
+def setup():
+    model = tiny_model()
+    params = model.init(
+        jax.random.PRNGKey(0), jnp.zeros((1,) + SIZE + (3,), jnp.float32)
+    )
+    index = SyntheticVOSIndex(num_sequences=3, num_frames=4, size=SIZE,
+                              num_objects=1, seed=0)
+    taskset = MetaTaskset(
+        [index], MetaTasksetConfig(num_query_frames=1, crop_size=SIZE), seed=0
+    )
+    return model, params, index, taskset
+
+
+class TestTaskset:
+    def test_batch_shapes(self, setup):
+        _, _, _, taskset = setup
+        batch = taskset.sample_batch(4)
+        assert batch.support_img.shape == (4,) + SIZE + (3,)
+        assert batch.support_label.shape == (4,) + SIZE
+        assert batch.query_imgs.shape == (4, 1) + SIZE + (3,)
+        assert batch.query_labels.shape == (4, 1) + SIZE
+        assert batch.seeds.shape == (4,)
+        assert set(np.unique(batch.support_label)) <= {0, 1, 255}
+
+    def test_deterministic_given_seed(self, setup):
+        _, _, index, _ = setup
+        cfg = MetaTasksetConfig(num_query_frames=1, crop_size=SIZE)
+        b1 = MetaTaskset([index], cfg, seed=7).sample_batch(2)
+        b2 = MetaTaskset([index], cfg, seed=7).sample_batch(2)
+        np.testing.assert_array_equal(b1.support_img, b2.support_img)
+        np.testing.assert_array_equal(b1.seeds, b2.seeds)
+
+    def test_query_differs_from_support(self, setup):
+        _, _, _, taskset = setup
+        for _ in range(5):
+            spec = taskset.sample_spec()
+            assert all(q != spec.support_frame for q in spec.query_frames)
+
+
+class TestShardedMetaStep:
+    @pytest.mark.parametrize("n_tasks", [4, 8])
+    def test_step_runs_and_updates(self, setup, n_tasks):
+        model, params, _, taskset = setup
+        mesh = make_mesh(num_tasks=n_tasks)
+        meta_cfg = MetaOptimConfig(init_lr=1e-3, use_log_init_lr=False)
+        step = make_meta_step(
+            model.apply,
+            meta_cfg,
+            MetaStepConfig(num_epochs=2, bptt_epochs=2, train_batch_size=2,
+                           augment=MILD),
+            OuterOptimConfig(model_init_lr=1e-4, log_init_lr_lr=1e-4),
+            mesh,
+            meta_batch_size=n_tasks,
+        )
+        mp = init_meta_params(meta_cfg, params)
+        opt_state = step.init(mp)
+        batch = shard_task_batch(mesh, taskset.sample_batch(n_tasks))
+        out = step(mp, opt_state, batch)
+        assert np.isfinite(float(out.meta_loss))
+        assert out.per_task_loss.shape == (n_tasks,)
+        assert out.train_losses.shape == (n_tasks, 2)
+        # meta-params actually moved
+        before = jax.tree_util.tree_leaves(mp.log_init_lr)[0]
+        after = jax.tree_util.tree_leaves(out.meta_params.log_init_lr)[0]
+        assert not np.allclose(np.asarray(before), np.asarray(after))
+
+    def test_sharded_matches_single_device(self, setup):
+        """The psum-reduced sharded step must produce the same update as the
+        same batch on a 1-shard mesh (allreduce correctness)."""
+        model, params, _, taskset = setup
+        meta_cfg = MetaOptimConfig(init_lr=1e-3, use_log_init_lr=False)
+        step_cfg = MetaStepConfig(num_epochs=2, bptt_epochs=2,
+                                  train_batch_size=2, augment=MILD)
+        outer = OuterOptimConfig(model_init_lr=1e-4, log_init_lr_lr=1e-4)
+        batch_np = taskset.sample_batch(4)
+        results = []
+        for n_shards in (1, 4):
+            mesh = make_mesh(num_tasks=n_shards,
+                             devices=jax.devices()[:n_shards])
+            step = make_meta_step(model.apply, meta_cfg, step_cfg, outer,
+                                  mesh, meta_batch_size=4)
+            mp = init_meta_params(meta_cfg, params)
+            opt_state = step.init(mp)
+            batch = shard_task_batch(mesh, batch_np)
+            out = step(mp, opt_state, batch)
+            results.append(out)
+        np.testing.assert_allclose(
+            float(results[0].meta_loss), float(results[1].meta_loss), rtol=1e-5
+        )
+        l0 = jax.tree_util.tree_leaves(results[0].meta_params.model_init)[0]
+        l1 = jax.tree_util.tree_leaves(results[1].meta_params.model_init)[0]
+        np.testing.assert_allclose(np.asarray(l0), np.asarray(l1),
+                                   rtol=1e-4, atol=1e-7)
+
+    def test_divisibility_assert(self, setup):
+        model, params, _, _ = setup
+        mesh = make_mesh(num_tasks=8)
+        with pytest.raises(ValueError, match="divisible"):
+            make_meta_step(
+                model.apply,
+                MetaOptimConfig(),
+                MetaStepConfig(),
+                OuterOptimConfig(),
+                mesh,
+                meta_batch_size=6,
+            )
+
+
+class TestMetaTrainer:
+    def test_loss_decreases_and_checkpoint_roundtrip(self, setup, tmp_path):
+        model, params, _, taskset = setup
+        mesh = make_mesh(num_tasks=4)
+        trainer = MetaTrainer(
+            model_apply=model.apply,
+            init_params=params,
+            taskset=taskset,
+            meta_cfg=MetaOptimConfig(init_lr=1e-2, use_log_init_lr=False),
+            step_cfg=MetaStepConfig(num_epochs=2, bptt_epochs=2,
+                                    train_batch_size=2, augment=MILD),
+            outer_cfg=OuterOptimConfig(model_init_lr=1e-3,
+                                       log_init_lr_lr=1e-3),
+            train_cfg=MetaTrainConfig(meta_batch_size=4, num_meta_iters=6,
+                                      vis_interval=3,
+                                      save_dir=str(tmp_path),
+                                      increase_seed_per_meta_run=False),
+            mesh=mesh,
+            logger=MetricsLogger(path=str(tmp_path / "m.jsonl"), echo=False),
+        )
+        first = trainer.run(1)["meta_loss"]
+        last = trainer.run(5)["meta_loss"]
+        assert np.isfinite(first) and np.isfinite(last)
+        assert last < first  # learned optimizer is learning
+
+        # checkpoint roundtrip restores meta-params + outer state + counters
+        trainer.save("last_meta_iter")
+        fresh = MetaTrainer(
+            model_apply=model.apply,
+            init_params=params,
+            taskset=taskset,
+            meta_cfg=MetaOptimConfig(init_lr=1e-2, use_log_init_lr=False),
+            step_cfg=MetaStepConfig(num_epochs=2, bptt_epochs=2,
+                                    train_batch_size=2, augment=MILD),
+            outer_cfg=OuterOptimConfig(model_init_lr=1e-3,
+                                       log_init_lr_lr=1e-3),
+            train_cfg=MetaTrainConfig(meta_batch_size=4,
+                                      increase_seed_per_meta_run=False),
+            mesh=mesh,
+            logger=MetricsLogger(echo=False),
+        )
+        fresh.restore(str(tmp_path / "last_meta_iter.ckpt"))
+        assert fresh.meta_iter == trainer.meta_iter
+        a = jax.tree_util.tree_leaves(trainer.meta_params.log_init_lr)[0]
+        b = jax.tree_util.tree_leaves(fresh.meta_params.log_init_lr)[0]
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        # metrics jsonl written
+        assert (tmp_path / "m.jsonl").read_text().count("meta_train") >= 2
