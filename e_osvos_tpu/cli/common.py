@@ -33,7 +33,22 @@ def build_parent_model(cfg: Dict):
             arch=pm.get("encoder", "resnet50"),
             backbone_norm=pm.get("backbone_norm", "group"),
             head_norm=pm.get("decoder_norm_layer", "group16"),
+            output_stride=int(pm.get("output_stride", 8)),
             num_classes=1,
+        )
+    elif arch == "MaskRCNN":
+        from e_osvos_tpu.models import RoIConfig
+
+        roi_sizes = pm.get("roi_pool_output_sizes", {})
+        kwargs.update(
+            arch=pm.get("encoder", "resnet50"),
+            backbone_norm=pm.get("backbone_norm", "group"),
+            roi=RoIConfig(
+                box_roi_size=int(roi_sizes.get("box", 7)),
+                nms_thresh=float(pm.get("box_nms_thresh", 0.5)),
+                mask_loss=str(pm.get("maskrcnn_loss", "LOVASZ")).lower(),
+                detections_per_img=int(pm.get("detections_per_img", 1)),
+            ),
         )
     return build_model(arch, **kwargs)
 

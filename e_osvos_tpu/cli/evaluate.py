@@ -25,8 +25,40 @@ from e_osvos_tpu.cli.common import (
     resolve_meta_params,
 )
 from e_osvos_tpu.engine.one_shot import OneShotEvaluator
+from e_osvos_tpu.engine.one_shot_detection import (
+    DetectionOneShotConfig,
+    DetectionOneShotEvaluator,
+)
 from e_osvos_tpu.utils import MetricsLogger, Timer
 from e_osvos_tpu.utils.png import save_indexed_png
+
+
+def build_evaluator(cfg, model):
+    """Dense (DeepLab) vs detection (Mask R-CNN) one-shot evaluator,
+    dispatched on parent_model.architecture like the reference's
+    init_parent_model (helper_func.py:339-357)."""
+    import dataclasses as _dc
+
+    meta_cfg = cfglib.to_meta_optim_config(cfg)
+    one_shot_cfg = cfglib.to_one_shot_config(cfg)
+    arch = cfg.get("parent_model", {}).get("architecture", "DeepLabV3Plus")
+    if arch == "MaskRCNN":
+        pm = cfg.get("parent_model", {})
+        ona = cfg.get("eval_online_adapt", {})
+        base_kwargs = {
+            f.name: getattr(one_shot_cfg, f.name)
+            for f in _dc.fields(one_shot_cfg)
+        }
+        det_cfg = DetectionOneShotConfig(
+            **base_kwargs,
+            proposal_aug_mode=pm.get(
+                "eval_augment_rpn_proposals_mode", "EXTEND"
+            ) or "NONE",
+            ona_reset_mode=str(ona.get("reset_model_mode", "FIRST_STEP")),
+            ona_only_box_head=bool(ona.get("only_box_head", False)),
+        )
+        return DetectionOneShotEvaluator(model, meta_cfg, det_cfg)
+    return OneShotEvaluator(model.apply, meta_cfg, one_shot_cfg)
 
 
 def main(argv=None):
@@ -38,9 +70,7 @@ def main(argv=None):
     params = init_model_params(cfg, model)
     meta_params = resolve_meta_params(cfg, model, params)
 
-    meta_cfg = cfglib.to_meta_optim_config(cfg)
-    one_shot_cfg = cfglib.to_one_shot_config(cfg)
-    evaluator = OneShotEvaluator(model.apply, meta_cfg, one_shot_cfg)
+    evaluator = build_evaluator(cfg, model)
 
     indexes = build_indexes(cfg, "val")
     preds_dir = cfg.get("save_preds")

@@ -3,6 +3,7 @@
 from e_osvos_tpu.data.datasets import (  # noqa: F401
     DAVISIndex,
     ObjectGroup,
+    PreloadedIndex,
     VOSSequence,
     YouTubeVOSIndex,
     binarize_label,
@@ -11,4 +12,5 @@ from e_osvos_tpu.data.datasets import (  # noqa: F401
     read_split_file,
 )
 from e_osvos_tpu.data.synthetic import SyntheticVOSIndex  # noqa: F401
-from e_osvos_tpu.data import transforms  # noqa: F401
+from e_osvos_tpu.data.voc import VOC2012Index  # noqa: F401
+from e_osvos_tpu.data import splits, transforms  # noqa: F401

@@ -283,3 +283,26 @@ def read_split_file(path: str) -> List[str]:
     in the reference's data/ directory)."""
     with open(path) as f:
         return [ln.strip() for ln in f if ln.strip()]
+
+
+class PreloadedIndex:
+    """RAM-preload wrapper around any indexer: decodes every frame/label once
+    and serves from memory (the reference's VOSDataset preload buffer,
+    vos_dataset.py:220-222). Useful for small eval splits where repeated
+    decode would bottleneck the host."""
+
+    def __init__(self, index):
+        self._index = index
+        self.sequences = index.sequences
+        self._images: Dict[Tuple[str, int], np.ndarray] = {}
+        self._labels: Dict[Tuple[str, int], Optional[np.ndarray]] = {}
+        for name, seq in index.sequences.items():
+            for t in range(len(seq)):
+                self._images[(name, t)] = index.get_image(name, t)
+                self._labels[(name, t)] = index.get_label(name, t)
+
+    def get_image(self, seq: str, idx: int) -> np.ndarray:
+        return self._images[(seq, idx)]
+
+    def get_label(self, seq: str, idx: int) -> Optional[np.ndarray]:
+        return self._labels[(seq, idx)]

@@ -51,6 +51,9 @@ class AugmentConfig:
     contrast: float = 0.1
     saturation: float = 0.1
     flip_prob: float = 0.5
+    # gather/arith dtype for the warp: TPU gathers are element-bound, so
+    # bf16 halves the traffic; augmentation tolerates the precision easily
+    compute_dtype: str = "bfloat16"
 
 
 def normalize(img: Array, mode: str = "davis") -> Array:
@@ -95,18 +98,20 @@ def _sample_bilinear(img: Array, src_y: Array, src_x: Array, cval: float) -> Arr
         yc = jnp.clip(yi, 0, h - 1)
         xc = jnp.clip(xi, 0, w - 1)
         vals = img[yc, xc]
-        return jnp.where(valid[..., None], vals, cval)
+        return jnp.where(valid[..., None], vals, jnp.asarray(cval, img.dtype))
 
     v00 = gather(y0, x0)
     v01 = gather(y0, x0 + 1)
     v10 = gather(y0 + 1, x0)
     v11 = gather(y0 + 1, x0 + 1)
-    wy = wy[..., None]
-    wx = wx[..., None]
+    # blend in the image dtype (bf16 path keeps the whole warp half-width)
+    wy = wy[..., None].astype(img.dtype)
+    wx = wx[..., None].astype(img.dtype)
+    one = jnp.asarray(1, img.dtype)
     return (
-        v00 * (1 - wy) * (1 - wx)
-        + v01 * (1 - wy) * wx
-        + v10 * wy * (1 - wx)
+        v00 * (one - wy) * (one - wx)
+        + v01 * (one - wy) * wx
+        + v10 * wy * (one - wx)
         + v11 * wy * wx
     )
 
@@ -166,15 +171,18 @@ def color_jitter(key: Array, img: Array, cfg: AugmentConfig) -> Array:
     Same factor semantics as torchvision ColorJitter (reference uses it via
     custom_transforms.py:122-153): each factor uniform in [1-x, 1+x].
     """
+    dt = img.dtype if jnp.issubdtype(img.dtype, jnp.floating) else jnp.float32
     k_b, k_c, k_s = jax.random.split(key, 3)
-    b = jax.random.uniform(k_b, (), minval=1 - cfg.brightness, maxval=1 + cfg.brightness)
-    c = jax.random.uniform(k_c, (), minval=1 - cfg.contrast, maxval=1 + cfg.contrast)
-    s = jax.random.uniform(k_s, (), minval=1 - cfg.saturation, maxval=1 + cfg.saturation)
-    img = img.astype(jnp.float32) * b
+    b = jax.random.uniform(k_b, (), dt, minval=1 - cfg.brightness, maxval=1 + cfg.brightness)
+    c = jax.random.uniform(k_c, (), dt, minval=1 - cfg.contrast, maxval=1 + cfg.contrast)
+    s = jax.random.uniform(k_s, (), dt, minval=1 - cfg.saturation, maxval=1 + cfg.saturation)
+    img = img.astype(dt) * b
     mean = jnp.mean(img)
     img = (img - mean) * c + mean
     gray = (
-        0.299 * img[..., 0] + 0.587 * img[..., 1] + 0.114 * img[..., 2]
+        jnp.asarray(0.299, dt) * img[..., 0]
+        + jnp.asarray(0.587, dt) * img[..., 1]
+        + jnp.asarray(0.114, dt) * img[..., 2]
     )[..., None]
     img = (img - gray) * s + gray
     return jnp.clip(img, 0.0, 255.0)
@@ -194,10 +202,11 @@ def augment_frame(
     the static-shape equivalent."""
     cfg = cfg or AugmentConfig()
     k_color, k_geom = jax.random.split(key)
-    img = color_jitter(k_color, img, cfg)
+    dtype = jnp.dtype(cfg.compute_dtype)
+    img = color_jitter(k_color, img.astype(dtype), cfg)
     matrix = scale_rotate_flip_matrix(k_geom, cfg)
     img, label = affine_warp(img, label, matrix, img_cval=0.0, label_cval=255.0)
-    return img, label
+    return img.astype(jnp.float32), label
 
 
 def augment_support_batch(

@@ -48,6 +48,10 @@ class MetaTrainConfig:
     eval_interval: int = 0  # 0 = no interleaved eval
     save_dir: Optional[str] = None
     seed: int = 1
+    # jax.profiler trace of meta-iterations [start, stop) — the rebuild of
+    # the reference's wall-clock-only tracing (SURVEY.md §5.1)
+    profile_iters: Optional[tuple] = None
+    profile_dir: str = "/tmp/e_osvos_tpu_profile"
     # increase sampling seed each epoch for generalization
     # (cfgs/meta.yaml:16 increase_seed_per_meta_run)
     increase_seed_per_meta_run: bool = True
@@ -121,6 +125,11 @@ class MetaTrainer:
         n = num_iters if num_iters is not None else cfg.num_meta_iters
         last: Dict[str, Any] = {}
         for _ in range(n):
+            if cfg.profile_iters is not None:
+                if self.meta_iter == cfg.profile_iters[0]:
+                    jax.profiler.start_trace(cfg.profile_dir)
+                if self.meta_iter == cfg.profile_iters[1]:
+                    jax.profiler.stop_trace()
             self.timer.start("sample")
             if cfg.increase_seed_per_meta_run:
                 self.taskset.rng.seed(cfg.seed + self.meta_iter)
@@ -145,6 +154,16 @@ class MetaTrainer:
                 "step_s": t_step,
             }
             if self.meta_iter % cfg.vis_interval == 0 or self.meta_iter == 1:
+                # init-lr statistics — the numbers the reference plots as
+                # lr mean/std curves (meta_optim.py:83-107, visualize.py)
+                from e_osvos_tpu.meta_optim import lr_stats
+
+                stats = lr_stats(
+                    self.meta_params.log_init_lr,
+                    use_log=self.step.meta_cfg.use_log_init_lr,
+                )
+                last["lr_mean"] = float(jax.device_get(stats["mean"]))
+                last["lr_std"] = float(jax.device_get(stats["std"]))
                 self.logger.log("meta_train", step=self.meta_iter, **last)
                 self.save("last_meta_iter")
 

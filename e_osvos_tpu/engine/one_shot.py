@@ -103,21 +103,21 @@ def make_pseudo_gt_loss_fn(
     model_apply: Callable,
     cfg: OneShotConfig,
 ) -> Callable:
-    """Loss over support frame copies PLUS propagated pseudo-GT frames
-    (online adaptation, evaluate.py:224-253). Batch = (key, support_img,
-    support_label, prop_imgs [K,H,W,3], prop_labels [K,H,W] in {0,1,255}).
-    Pseudo frames are not augmented (parity: the reference augments only the
-    support copies)."""
+    """Online-adaptation loss (evaluate.py:215-253 parity): the OnA batch is
+    ONE un-augmented support frame (the reference switches the transform to
+    ToTensor-only and takes ``inputs[:1]``) plus the last
+    ``min(step, batch_sizes.train)`` propagated pseudo-GT frames. Batch =
+    (support_img, support_label, prop_imgs [K,H,W,3], prop_labels [K,H,W] in
+    {0,1,255}; empty-mask pseudo frames arrive fully 255 so the valid mask
+    removes them, matching the reference's skip)."""
 
     def loss_fn(params, batch):
-        key, img, label, prop_imgs, prop_labels = batch
-        s_imgs, s_labels = transforms.augment_support_batch(
-            key, img.astype(jnp.float32), label, cfg.batch_size, cfg.augment
-        )
+        img, label, prop_imgs, prop_labels = batch
         imgs = jnp.concatenate(
-            [s_imgs, prop_imgs.astype(jnp.float32)], axis=0
+            [img.astype(jnp.float32)[None], prop_imgs.astype(jnp.float32)],
+            axis=0,
         )
-        labels = jnp.concatenate([s_labels, prop_labels], axis=0)
+        labels = jnp.concatenate([label[None], prop_labels], axis=0)
         imgs = transforms.normalize(imgs, cfg.normalize_mode)
         valid = labels != 255
         gts = jnp.where(valid, labels, 0).astype(jnp.float32)
@@ -188,21 +188,42 @@ class OneShotEvaluator:
         model_apply: Callable,
         meta_cfg: MetaOptimConfig,
         cfg: OneShotConfig,
+        batch_objects: bool = True,
     ):
         self.model_apply = model_apply
         self.meta_cfg = meta_cfg
         self.cfg = cfg
+        self.batch_objects = batch_objects
         self._jit_ft = jax.jit(
             partial(fine_tune_on_support, model_apply, meta_cfg, cfg)
         )
         self._jit_seg = jax.jit(partial(segment_frames, model_apply, cfg))
+        # objects as a batch axis (SURVEY.md §7 step 4): one compiled
+        # program fine-tunes ALL object groups of a sequence simultaneously
+        # (the reference loops them serially, evaluate.py:132); meta-params
+        # and the support frame broadcast, keys/labels/params carry the
+        # object axis
+        def _ft_one(meta_params, key, img, label, init_params):
+            return fine_tune_on_support(
+                model_apply, meta_cfg, cfg, meta_params, key, img, label,
+                init_params,
+            )
+
+        self._jit_ft_objs = jax.jit(
+            jax.vmap(_ft_one, in_axes=(None, 0, None, 0, None))
+        )
+        self._jit_seg_objs = jax.jit(
+            jax.vmap(
+                partial(segment_frames, model_apply, cfg),
+                in_axes=(0, None),
+            )
+        )
         loss_fn = make_pseudo_gt_loss_fn(model_apply, cfg)
 
         def _ona_ft(meta_params, key, img, label, prop_imgs, prop_labels, init_params):
-            keys = jax.random.split(key, cfg.online_adapt_epochs)
+            del key  # OnA steps are deterministic (no augmentation)
             n = cfg.online_adapt_epochs
             batches = (
-                keys,
                 jnp.broadcast_to(img, (n,) + img.shape),
                 jnp.broadcast_to(label, (n,) + label.shape),
                 jnp.broadcast_to(prop_imgs, (n,) + prop_imgs.shape),
@@ -239,14 +260,26 @@ class OneShotEvaluator:
         frames = np.stack([index.get_image(seq_name, t) for t in range(T)])
         frames_j = jnp.asarray(frames)
 
-        obj_probs = []
-        for gi, group in enumerate(seq.object_groups):
-            gkey = jax.random.fold_in(key, gi)
-            probs = self._eval_object_group(
-                index, seq, frames_j, group, meta_params, gkey, init_params
-            )
-            obj_probs.append(probs)
-        probs = jnp.stack(obj_probs)  # [O,T,H,W]
+        groups = seq.object_groups
+        same_support = len({g.support_frame for g in groups}) == 1
+        if (
+            self.batch_objects
+            and len(groups) > 1
+            and same_support
+            and self.cfg.online_adapt_step == 0
+        ):
+            probs = self._eval_objects_batched(
+                index, seq, frames_j, meta_params, key, init_params
+            )  # [O,T,H,W]
+        else:
+            obj_probs = []
+            for gi, group in enumerate(groups):
+                gkey = jax.random.fold_in(key, gi)
+                p = self._eval_object_group(
+                    index, seq, frames_j, group, meta_params, gkey, init_params
+                )
+                obj_probs.append(p)
+            probs = jnp.stack(obj_probs)  # [O,T,H,W]
         merged = merge_objects(probs, self.cfg.threshold)  # [T,H,W]
 
         # J/F against available GT (skip frame 0 per DAVIS protocol and
@@ -282,6 +315,40 @@ class OneShotEvaluator:
             "F_mean": float(np.nanmean(f_means)) if f_means else float("nan"),
         }
 
+    def _eval_objects_batched(
+        self,
+        index,
+        seq,
+        frames_j: Array,
+        meta_params: MetaParams,
+        key: Array,
+        init_params: Any,
+    ) -> Array:
+        """All object groups fine-tuned and propagated in ONE vmapped
+        program (SURVEY.md §7 step 4: objects as a batch axis). Requires a
+        shared support frame (DAVIS protocol); online adaptation uses the
+        serial path. Returns [O,T,H,W] probabilities."""
+        groups = seq.object_groups
+        sf = groups[0].support_frame
+        gt = index.get_label(seq.name, sf)
+        labels = jnp.asarray(
+            np.stack([binarize_label(gt, g.object_ids) for g in groups]),
+            jnp.int32,
+        )  # [O,H,W]
+        keys = jax.vmap(lambda i: jax.random.fold_in(key, i))(
+            jnp.arange(len(groups))
+        )
+        params_o, _ = self._jit_ft_objs(
+            meta_params, keys, frames_j[sf], labels, init_params
+        )
+        T = frames_j.shape[0]
+        probs = self._jit_seg_objs(params_o, frames_j)  # [O,T,H,W]
+        # support frame gets GT (void 255 excluded); frames before it stay 0
+        probs = probs.at[:, sf].set((labels == 1).astype(jnp.float32))
+        if sf > 0:
+            probs = probs.at[:, :sf].set(0.0)
+        return probs
+
     def _eval_object_group(
         self,
         index,
@@ -310,7 +377,8 @@ class OneShotEvaluator:
         probs = jnp.zeros((T,) + frames_j.shape[1:3], jnp.float32)
         # frames before the support frame keep probability 0 (YT-VOS objects
         # appearing mid-sequence, youtube.py:131-185); support frame gets GT
-        probs = probs.at[sf].set(support_label.astype(jnp.float32))
+        # (255-void pixels must NOT leak into the probability map)
+        probs = probs.at[sf].set((support_label == 1).astype(jnp.float32))
 
         step = cfg.online_adapt_step if cfg.online_adapt_step > 0 else T
         start = sf + 1
@@ -322,21 +390,26 @@ class OneShotEvaluator:
             probs = probs.at[start:end].set(w_probs)
 
             if cfg.online_adapt_step > 0 and end < T:
-                # re-adapt on support + propagated pseudo-GT from this window
-                # (evaluate.py:141-253): prob ≥ min_prop → 1, ≤ 1-min_prop →
-                # 0, else 255 (ignore)
+                # re-adapt on support + the LAST min(step, batch) propagated
+                # pseudo-GT frames (evaluate.py:215-253): prob ≥ min_prop →
+                # 1, ≤ 1-min_prop → 0, else 255 (ignore); frames with no
+                # confident fg become all-255 (the reference skips them)
+                k = min(cfg.online_adapt_step, cfg.batch_size)
+                sel_probs = w_probs[-k:]
                 pseudo = jnp.where(
-                    w_probs >= cfg.online_adapt_min_prop,
+                    sel_probs >= cfg.online_adapt_min_prop,
                     1,
-                    jnp.where(w_probs <= 1.0 - cfg.online_adapt_min_prop, 0, 255),
+                    jnp.where(sel_probs <= 1.0 - cfg.online_adapt_min_prop, 0, 255),
                 ).astype(jnp.int32)
+                has_fg = jnp.any(pseudo == 1, axis=(1, 2))
+                pseudo = jnp.where(has_fg[:, None, None], pseudo, 255)
                 k_w = jax.random.fold_in(k_ona, window_id)
                 params, _ = self._jit_ona_ft(
                     meta_params,
                     k_w,
                     support_img,
                     support_label,
-                    window,
+                    window[-k:],
                     pseudo,
                     params,
                 )

@@ -36,6 +36,12 @@ class DetectionOneShotConfig(OneShotConfig):
 
     proposal_aug_mode: str = "EXTEND"  # parent_model.eval_augment_rpn_proposals_mode
     box_from_mask_thresh: float = 0.5  # mask → next-frame box threshold
+    # online adaptation extras (evaluate.py:141-253, meta_optim.py:209-210):
+    # FULL restarts from the learned init each window, FIRST_STEP continues
+    # from the current fine-tuned params; only_box_head masks all lrs except
+    # the box/mask heads during OnA re-fits
+    ona_reset_mode: str = "FIRST_STEP"  # [FULL, FIRST_STEP]
+    ona_only_box_head: bool = False
 
 
 class DetectionOneShotEvaluator:
@@ -56,6 +62,7 @@ class DetectionOneShotEvaluator:
         self.cfg = cfg
         self._jit_ft = jax.jit(self._fine_tune)
         self._jit_window = jax.jit(self._segment_window)
+        self._jit_ona_ft = jax.jit(self._ona_fine_tune)
 
     # -- fine-tune ----------------------------------------------------------
 
@@ -95,6 +102,68 @@ class DetectionOneShotEvaluator:
             batches,
             init_params=init_params,
             early_stop_patience=cfg.early_stop_patience,
+        )
+
+    def _ona_meta_params(self, meta_params: MetaParams) -> MetaParams:
+        """OnA lr tree: only box/mask head updates when only_box_head
+        (reference's partial-update switch, meta_optim.py:209-210)."""
+        if not self.cfg.ona_only_box_head:
+            return meta_params
+        from e_osvos_tpu.meta_optim.lr_tree import LOG_LR_MIN, mask_lrs_by_path
+
+        zero = LOG_LR_MIN if self.meta_cfg.use_log_init_lr else 0.0
+        return meta_params._replace(
+            log_init_lr=mask_lrs_by_path(
+                meta_params.log_init_lr,
+                ["box_head", "mask_head"],
+                keep_matching=True,
+                zero_value=zero,
+            )
+        )
+
+    def _ona_loss_fn(self, params, batch):
+        """OnA batch = ONE un-augmented support frame + the propagated
+        pseudo-GT frames (evaluate.py:215-253 parity — the reference
+        switches to ToTensor-only and takes inputs[:1])."""
+        cfg = self.cfg
+        key, img, label, prop_imgs, prop_labels = batch
+        k_sample = key
+        imgs = jnp.concatenate(
+            [img.astype(jnp.float32)[None], prop_imgs.astype(jnp.float32)],
+            axis=0,
+        )
+        labels = jnp.concatenate([label[None], prop_labels], axis=0)
+        imgs = transforms.normalize(imgs, cfg.normalize_mode)
+        masks = jnp.where(labels == 255, 255.0, labels.astype(jnp.float32))
+        gt_masks = masks[:, None]
+        gt_valid = jnp.any(gt_masks == 1, axis=(2, 3))
+        total, _ = self.model.apply(
+            params, imgs, gt_masks, gt_valid, train=True,
+            rngs={"sample": k_sample},
+        )
+        return total
+
+    def _ona_fine_tune(self, meta_params, key, img, label, prop_imgs,
+                       prop_labels, init_params):
+        cfg = self.cfg
+        mp = self._ona_meta_params(meta_params)
+        n = cfg.online_adapt_epochs
+        keys = jax.random.split(key, n)
+        batches = (
+            keys,
+            jnp.broadcast_to(img, (n,) + img.shape),
+            jnp.broadcast_to(label, (n,) + label.shape),
+            jnp.broadcast_to(prop_imgs, (n,) + prop_imgs.shape),
+            jnp.broadcast_to(prop_labels, (n,) + prop_labels.shape),
+        )
+        return fine_tune(
+            self.meta_cfg,
+            self._ona_loss_fn,
+            mp,
+            batches,
+            init_params=init_params,
+            early_stop_patience=cfg.early_stop_patience,
+            reset=(cfg.ona_reset_mode == "FULL"),
         )
 
     # -- propagation --------------------------------------------------------
@@ -179,11 +248,47 @@ class DetectionOneShotEvaluator:
 
             probs = jnp.zeros((T,) + frames.shape[1:3], jnp.float32)
             probs = probs.at[sf].set((label == 1).astype(jnp.float32))
-            if sf + 1 < T:
-                w_probs, _, _ = self._jit_window(
-                    params, frames[sf + 1 :], boxes0, valid0, k_run
+
+            # windowed propagation with optional online adaptation
+            # (evaluate.py:141-253): re-fit on support + pseudo-GT between
+            # windows of `online_adapt_step` frames
+            step = cfg.online_adapt_step if cfg.online_adapt_step > 0 else T
+            start = sf + 1
+            boxes_c, valid_c = boxes0, valid0
+            window_id = 0
+            while start < T:
+                end = min(start + step, T)
+                k_run = jax.random.fold_in(gkey, 1000 + window_id)
+                w_probs, w_boxes, w_valid = self._jit_window(
+                    params, frames[start:end], boxes_c, valid_c, k_run
                 )
-                probs = probs.at[sf + 1 :].set(w_probs)
+                probs = probs.at[start:end].set(w_probs)
+                # carry last frame's boxes into the next window
+                last_mask = (w_probs[-1] >= cfg.box_from_mask_thresh)
+                nb, nv = masks_to_boxes(last_mask.astype(jnp.float32)[None])
+                if bool(jax.device_get(jnp.any(nv))):
+                    boxes_c = jnp.tile(nb, (K, 1))[:K]
+                    valid_c = jnp.tile(nv, (K,))[:K]
+
+                if cfg.online_adapt_step > 0 and end < T:
+                    kk = min(cfg.online_adapt_step, cfg.batch_size)
+                    sel = w_probs[-kk:]
+                    pseudo = jnp.where(
+                        sel >= cfg.online_adapt_min_prop,
+                        1,
+                        jnp.where(
+                            sel <= 1.0 - cfg.online_adapt_min_prop, 0, 255
+                        ),
+                    ).astype(jnp.int32)
+                    has_fg = jnp.any(pseudo == 1, axis=(1, 2))
+                    pseudo = jnp.where(has_fg[:, None, None], pseudo, 255)
+                    k_w = jax.random.fold_in(gkey, 2000 + window_id)
+                    params, _ = self._jit_ona_ft(
+                        meta_params, k_w, frames[sf], label,
+                        frames[start:end][-kk:], pseudo, params,
+                    )
+                start = end
+                window_id += 1
             obj_probs.append(probs)
 
         probs = jnp.stack(obj_probs)

@@ -97,7 +97,7 @@ def clamp_lr_tree(
 
 
 def mask_lrs_by_path(
-    lrs: Any, substrings, keep_matching: bool = True
+    lrs: Any, substrings, keep_matching: bool = True, zero_value: float = 0.0
 ) -> Any:
     """Zero the (materialized) lrs of every leaf whose tree path does / does
     not contain one of ``substrings`` — the reference's partial-update
@@ -111,6 +111,8 @@ def mask_lrs_by_path(
 
     A zero lr makes the inner SGD step a no-op for that leaf while keeping
     every shape static (no parameter partitioning needed under jit).
+    ``zero_value``: use ``LOG_LR_MIN`` when the tree stores LOG lrs (e^-33
+    ≈ 0, the reference's log-space floor).
     """
     subs = tuple(substrings)
 
@@ -118,7 +120,7 @@ def mask_lrs_by_path(
         name = jax.tree_util.keystr(path).lower()
         hit = any(s.lower() in name for s in subs)
         keep = hit if keep_matching else not hit
-        return leaf if keep else jnp.zeros_like(leaf)
+        return leaf if keep else jnp.full_like(leaf, zero_value)
 
     return jax.tree_util.tree_map_with_path(visit, lrs)
 

@@ -60,6 +60,11 @@ class MetaOptimConfig:
     use_log_init_lr: bool = True
     max_lr: float = 1.0
     second_order_gradients: bool = False
+    # restrict second-order gradients to parameter subtrees whose path
+    # contains one of these substrings (the reference limits create_graph to
+    # roi_heads, mask_rcnn.py:513,536-544 + meta_optim.py:195-199); empty =
+    # all parameters
+    second_order_subtrees: Tuple[str, ...] = ()
 
 
 class MetaParams(NamedTuple):
@@ -84,13 +89,27 @@ class FineTuneState(NamedTuple):
 def init_meta_params(cfg: MetaOptimConfig, params: Params) -> MetaParams:
     """Create meta-parameters from a model parameter pytree.
 
-    Parity: MetaOptimizer.__init__ (meta_optim.py:28-78)."""
+    Parity: MetaOptimizer.__init__ (meta_optim.py:28-78). When passed a full
+    flax variables dict, non-trainable collections ('constants' frozen-BN
+    stats, 'batch_stats') get zero-equivalent learning rates so the inner
+    SGD never touches them (the reference's frozen-BN default,
+    cfgs/meta.yaml parent_model.batch_norm.*)."""
     lrs = init_lr_tree(
         params,
         hierarchy_level=cfg.lr_hierarchy_level,
         init_lr=cfg.init_lr,
         use_log=cfg.use_log_init_lr,
     )
+    if isinstance(params, dict) and any(
+        k in params for k in ("constants", "batch_stats")
+    ):
+        from e_osvos_tpu.meta_optim.lr_tree import LOG_LR_MIN, mask_lrs_by_path
+
+        zero = LOG_LR_MIN if cfg.use_log_init_lr else 0.0
+        lrs = mask_lrs_by_path(
+            lrs, ("constants", "batch_stats"), keep_matching=False,
+            zero_value=zero,
+        )
     init = jax.tree_util.tree_map(jnp.asarray, params) if cfg.learn_model_init else None
     return MetaParams(model_init=init, log_init_lr=lrs)
 
@@ -130,6 +149,18 @@ def inner_sgd_step(
     loss, grads = jax.value_and_grad(loss_fn)(params, batch)
     if not cfg.second_order_gradients:
         grads = jax.tree_util.tree_map(jax.lax.stop_gradient, grads)
+    elif cfg.second_order_subtrees:
+        # selective detach: only the named subtrees keep the inner-grad
+        # graph (reference: second-order limited to roi_heads,
+        # meta_optim.py:195-199 + mask_rcnn.py:536-544)
+        subs = tuple(s.lower() for s in cfg.second_order_subtrees)
+
+        def maybe_detach(path, g):
+            name = jax.tree_util.keystr(path).lower()
+            keep = any(s in name for s in subs)
+            return g if keep else jax.lax.stop_gradient(g)
+
+        grads = jax.tree_util.tree_map_with_path(maybe_detach, grads)
     new_params = jax.tree_util.tree_map(
         lambda p, g, lr: p - lr.astype(p.dtype) * g, params, grads, lrs
     )
@@ -213,6 +244,7 @@ def meta_loss(
     bptt_epochs: int = 1,
     init_params: Optional[Params] = None,
     remat: bool = True,
+    segment_weights: Optional[Tuple[float, ...]] = None,
 ) -> Tuple[Array, Array]:
     """Truncated-BPTT meta-objective for one task.
 
@@ -221,6 +253,11 @@ def meta_loss(
     meta_batch)`` is accumulated and the carried params are detached
     (truncation). ``jax.grad`` of the returned scalar w.r.t. ``meta_params``
     gives the reference's meta-gradients (meta_run.py:133-217).
+
+    ``segment_weights``: optional per-segment weights for the accumulated
+    query losses — the reference's ``multi_step_bptt_loss`` option
+    (cfgs/meta.yaml:19, e.g. [0.05, 0.10, 0.2, 0.30, 0.35]); length must
+    equal the number of segments. None = uniform.
 
     Returns ``(total_meta_loss / num_segments, per-step train losses)``.
     """
@@ -242,10 +279,21 @@ def meta_loss(
     if remat:
         inner = jax.checkpoint(inner)
 
-    def segment(carry, seg_batches):
+    if segment_weights is not None:
+        if len(segment_weights) != num_segments:
+            raise ValueError(
+                f"segment_weights has {len(segment_weights)} entries for "
+                f"{num_segments} segments"
+            )
+        weights = jnp.asarray(segment_weights, jnp.float32) * num_segments
+    else:
+        weights = jnp.ones((num_segments,), jnp.float32)
+
+    def segment(carry, inp):
+        w, seg_batches = inp
         params, acc = carry
         params, tr_losses = jax.lax.scan(inner, params, seg_batches)
-        acc = acc + meta_loss_fn(params, meta_batch)
+        acc = acc + w * meta_loss_fn(params, meta_batch)
         # truncate: later segments see these params as constants
         params = jax.tree_util.tree_map(jax.lax.stop_gradient, params)
         return (params, acc), tr_losses
@@ -255,7 +303,7 @@ def meta_loss(
         train_batches,
     )
     (final_params, total), tr_losses = jax.lax.scan(
-        segment, (params0, jnp.asarray(0.0, jnp.float32)), seg_batches
+        segment, (params0, jnp.asarray(0.0, jnp.float32)), (weights, seg_batches)
     )
     del final_params
     return total / num_segments, tr_losses.reshape(num_steps)

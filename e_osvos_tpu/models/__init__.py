@@ -15,5 +15,6 @@ from e_osvos_tpu.models.mask_rcnn import (  # noqa: F401
     RoIConfig,
 )
 from e_osvos_tpu.models.rpn import RPNConfig  # noqa: F401
+from e_osvos_tpu.models import fuse, torch_import  # noqa: F401
 
 ARCHITECTURES["MaskRCNN"] = MaskRCNN

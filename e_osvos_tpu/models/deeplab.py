@@ -86,6 +86,18 @@ class ASPP(nn.Module):
         return y
 
 
+def _dilate_stages(output_stride: int):
+    """8 → dilate layer3+layer4 (the reference's
+    replace_stride_with_dilation=[False,True,True], deeplabv3plus.py:113-115);
+    16 → dilate layer4 only (the DeepLab paper's standard training config,
+    ~2x cheaper on TPU — the decoder recovers boundary detail)."""
+    if output_stride == 8:
+        return (False, True, True)
+    if output_stride == 16:
+        return (False, False, True)
+    raise ValueError(f"output_stride must be 8 or 16, got {output_stride}")
+
+
 class DeepLabV3(nn.Module):
     """ASPP head on a dilated ResNet trunk; logits at input resolution."""
 
@@ -93,6 +105,7 @@ class DeepLabV3(nn.Module):
     arch: str = "resnet50"
     backbone_norm: str = "group"
     head_norm: str = "group16"
+    output_stride: int = 8
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -101,7 +114,7 @@ class DeepLabV3(nn.Module):
         feats = ResNet(
             arch=self.arch,
             norm_layer=self.backbone_norm,
-            dilate_stages=(False, True, True),
+            dilate_stages=_dilate_stages(self.output_stride),
             dtype=self.dtype,
             name="backbone",
         )(x)
@@ -121,6 +134,7 @@ class DeepLabV3Plus(nn.Module):
     arch: str = "resnet50"
     backbone_norm: str = "group"
     head_norm: str = "group16"
+    output_stride: int = 8
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -129,7 +143,7 @@ class DeepLabV3Plus(nn.Module):
         feats = ResNet(
             arch=self.arch,
             norm_layer=self.backbone_norm,
-            dilate_stages=(False, True, True),
+            dilate_stages=_dilate_stages(self.output_stride),
             dtype=self.dtype,
             name="backbone",
         )(x)

@@ -94,4 +94,11 @@ def batched_nms(
         )
     max_coord = jnp.max(boxes) + 1.0
     offsets = ids.astype(boxes.dtype)[:, None] * max_coord
-    return nms(boxes + offsets, scores, iou_threshold, max_out, valid)
+    shifted = boxes + offsets
+    if jax.default_backend() == "tpu":
+        # VMEM-resident Pallas kernel on TPU (ops/pallas_nms.py); the XLA
+        # path below is the fallback + correctness oracle
+        from e_osvos_tpu.ops.pallas_nms import nms_pallas
+
+        return nms_pallas(shifted, scores, iou_threshold, max_out, valid)
+    return nms(shifted, scores, iou_threshold, max_out, valid)

@@ -37,20 +37,29 @@ def _nms_kernel(boxes_ref, scores_ref, valid_ref, thresh_ref,
     n = scores_ref.shape[1]
     max_out = idx_ref.shape[1]
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, n), 1)
+    out_lane = jax.lax.broadcasted_iota(jnp.int32, (1, max_out), 1)
 
     x1 = boxes_ref[0:1, :]
     y1 = boxes_ref[1:2, :]
     x2 = boxes_ref[2:3, :]
     y2 = boxes_ref[3:4, :]
     area = jnp.maximum(x2 - x1, 0.0) * jnp.maximum(y2 - y1, 0.0)
-    thresh = thresh_ref[0]
+    thresh = thresh_ref[0, 0]
     neg_inf = jnp.float32(-jnp.inf)
 
-    def body(i, alive):
-        masked = jnp.where(alive, scores_ref[0:1, :], neg_inf)
+    def body(i, state):
+        # outputs ride the carry as [1, max_out] vectors — Mosaic has no
+        # scalar stores to VMEM, so results are written once at the end;
+        # everything stays 2-D [1, N] int32/float32 (Mosaic-friendly: no
+        # argmax, no 1-D vectors, no bool carries)
+        alive, idx_vec, keep_vec = state
+        alive_b = alive > 0
+        masked = jnp.where(alive_b, scores_ref[0:1, :], neg_inf)
         best_score = jnp.max(masked)
-        best = jnp.argmax(masked[0, :]).astype(jnp.int32)
         ok = best_score > neg_inf
+        # first lane achieving the max (argmax tie-break semantics)
+        at_max = alive_b & (masked >= best_score)
+        best = jnp.min(jnp.where(at_max, lane, n)).astype(jnp.int32)
         sel = lane == best
 
         def pick(row):
@@ -64,13 +73,23 @@ def _nms_kernel(boxes_ref, scores_ref, valid_ref, thresh_ref,
         union = area + barea - inter
         iou = jnp.where(union > 0, inter / jnp.maximum(union, 1e-9), 0.0)
 
-        alive = alive & (iou <= thresh) & (lane != best)
-        idx_ref[0, i] = jnp.where(ok, best, -1)
-        keep_ref[0, i] = ok
-        return alive
+        keep_alive = alive_b & (iou <= thresh) & (lane != best) & ok
+        alive = keep_alive.astype(jnp.int32)
+        here = out_lane == i
+        idx_vec = jnp.where(here & ok, best, idx_vec)
+        keep_vec = jnp.where(here & ok, 1, keep_vec)
+        return alive, idx_vec, keep_vec
 
-    alive0 = valid_ref[0:1, :] & (scores_ref[0:1, :] > neg_inf)
-    jax.lax.fori_loop(0, max_out, body, alive0)
+    alive0 = (
+        (valid_ref[0:1, :] > 0) & (scores_ref[0:1, :] > neg_inf)
+    ).astype(jnp.int32)
+    idx0 = jnp.full((1, max_out), -1, jnp.int32)
+    keep0 = jnp.zeros((1, max_out), jnp.int32)
+    _, idx_vec, keep_vec = jax.lax.fori_loop(
+        0, max_out, body, (alive0, idx0, keep0)
+    )
+    idx_ref[:, :] = idx_vec
+    keep_ref[:, :] = keep_vec
 
 
 def nms_pallas(
@@ -90,14 +109,14 @@ def nms_pallas(
         scores.astype(jnp.float32)[None], ((0, 0), (0, pad)),
         constant_values=-jnp.inf,
     )
-    v = jnp.ones((n,), bool) if valid is None else valid.astype(bool)
+    v = jnp.ones((n,), jnp.int32) if valid is None else valid.astype(jnp.int32)
     valid_p = jnp.pad(v[None], ((0, 0), (0, pad)))
 
     idx, keep = pl.pallas_call(
         _nms_kernel,
         out_shape=(
             jax.ShapeDtypeStruct((1, max_out), jnp.int32),
-            jax.ShapeDtypeStruct((1, max_out), jnp.bool_),
+            jax.ShapeDtypeStruct((1, max_out), jnp.int32),
         ),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.VMEM),
@@ -110,8 +129,8 @@ def nms_pallas(
             pl.BlockSpec(memory_space=pltpu.VMEM),
         ),
         interpret=interpret,
-    )(boxes_t, scores_p, valid_p, jnp.array([iou_threshold], jnp.float32))
-    return idx[0], keep[0]
+    )(boxes_t, scores_p, valid_p, jnp.array([[iou_threshold]], jnp.float32))
+    return idx[0], keep[0].astype(jnp.bool_)
 
 
 def nms_auto(boxes, scores, iou_threshold, max_out, valid=None):

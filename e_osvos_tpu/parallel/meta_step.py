@@ -114,6 +114,41 @@ class MetaStepOut(NamedTuple):
     train_losses: Array  # [B, num_epochs] inner-loop train losses
 
 
+def detection_task_fns(model, cfg: MetaStepConfig):
+    """(train_loss_fn, query_loss_fn) for meta-training the DETECTION model
+    family (Mask R-CNN, the reference's default architecture,
+    cfgs/meta.yaml:70): the inner/query losses are the detector's summed
+    loss dict over mask targets synthesized in-forward (mask_rcnn.py:582-731).
+    Pass via ``make_meta_step(..., task_fns=detection_task_fns(model, cfg))``.
+    """
+
+    def _detection_loss(params, key, imgs, labels):
+        imgs = transforms.normalize(imgs, cfg.normalize_mode)
+        masks = jnp.where(labels == 255, 255.0, labels.astype(jnp.float32))
+        gt_masks = masks[:, None]  # one object group per task
+        gt_valid = jnp.any(gt_masks == 1, axis=(2, 3))
+        total, _ = model.apply(
+            params, imgs, gt_masks, gt_valid, train=True,
+            rngs={"sample": key},
+        )
+        return total
+
+    def train_loss_fn(params, batch):
+        key, img, label = batch
+        k_aug, k_s = jax.random.split(key)
+        imgs, labels = transforms.augment_support_batch(
+            k_aug, img, label, cfg.train_batch_size, cfg.augment
+        )
+        return _detection_loss(params, k_s, imgs, labels)
+
+    def query_loss_fn(params, batch):
+        imgs, labels = batch
+        key = jax.random.PRNGKey(0)  # query pass samples rois deterministically
+        return _detection_loss(params, key, imgs.astype(jnp.float32), labels)
+
+    return train_loss_fn, query_loss_fn
+
+
 def _task_fns(model_apply: Callable, cfg: MetaStepConfig):
     """(train_loss_fn, query_loss_fn) for the inner loop.
 
@@ -150,6 +185,7 @@ def make_meta_step(
     outer_cfg: OuterOptimConfig,
     mesh: Mesh,
     meta_batch_size: int,
+    task_fns=None,
 ) -> Callable[[MetaParams, Any, Any], MetaStepOut]:
     """Build the jitted SPMD meta step.
 
@@ -159,7 +195,8 @@ def make_meta_step(
     meta-params/opt-state plus replicated metrics.
     """
     return MetaStep(
-        model_apply, meta_cfg, step_cfg, outer_cfg, mesh, meta_batch_size
+        model_apply, meta_cfg, step_cfg, outer_cfg, mesh, meta_batch_size,
+        task_fns=task_fns,
     )
 
 
@@ -182,6 +219,7 @@ class MetaStep:
         outer_cfg: OuterOptimConfig,
         mesh: Mesh,
         meta_batch_size: int,
+        task_fns=None,
     ):
         n_shards = mesh.shape[TASK_AXIS]
         if meta_batch_size % n_shards != 0:
@@ -195,6 +233,7 @@ class MetaStep:
         self.mesh = mesh
         self.meta_batch_size = meta_batch_size
         self._outer_tx: Optional[optax.GradientTransformation] = None
+        self._task_fns = task_fns
         self._build(model_apply)
 
     def init(self, meta_params: MetaParams):
@@ -206,7 +245,11 @@ class MetaStep:
         step_cfg = self.step_cfg
         mesh = self.mesh
         meta_batch_size = self.meta_batch_size
-        train_loss_fn, query_loss_fn = _task_fns(model_apply, step_cfg)
+        train_loss_fn, query_loss_fn = (
+            self._task_fns
+            if self._task_fns is not None
+            else _task_fns(model_apply, step_cfg)
+        )
 
         def task_grads(meta_params: MetaParams, task):
             s_img, s_label, q_imgs, q_labels, seed = task

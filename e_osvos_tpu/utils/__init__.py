@@ -10,3 +10,9 @@ from e_osvos_tpu.utils.png import (  # noqa: F401
     load_indexed_png,
     save_indexed_png,
 )
+from e_osvos_tpu.utils.analysis import sweep_fine_tune_steps  # noqa: F401
+from e_osvos_tpu.utils.visualize import (  # noqa: F401
+    draw_boxes,
+    overlay_masks,
+    save_debug_overlay,
+)

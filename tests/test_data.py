@@ -190,3 +190,109 @@ class TestDAVISIndex:
     def test_explicit_sequences(self, davis_tree):
         idx = DAVISIndex(davis_tree, sequences=["bear"])
         assert list(idx.sequences) == ["bear"]
+
+
+class TestVOCIndex:
+    def _make_voc(self, tmp_path):
+        import os
+        from PIL import Image
+        from e_osvos_tpu.utils.png import davis_palette
+
+        base = tmp_path / "VOCdevkit" / "VOC2012"
+        (base / "JPEGImages").mkdir(parents=True)
+        (base / "SegmentationClass").mkdir(parents=True)
+        (base / "ImageSets" / "Segmentation").mkdir(parents=True)
+        names = ["2007_000001", "2007_000002"]
+        rng = np.random.RandomState(0)
+        for n in names:
+            img = rng.randint(0, 255, (30, 40, 3), np.uint8)
+            Image.fromarray(img).save(base / "JPEGImages" / f"{n}.jpg")
+            lab = np.zeros((30, 40), np.uint8)
+            lab[5:15, 5:20] = 12  # some VOC class id
+            lab[0, 0] = 255  # void
+            im = Image.fromarray(lab, mode="P")
+            im.putpalette(davis_palette().flatten().tolist())
+            im.save(base / "SegmentationClass" / f"{n}.png")
+        with open(base / "ImageSets" / "Segmentation" / "train.txt", "w") as f:
+            f.write("\n".join(names))
+        return str(tmp_path)
+
+    def test_binary_labels_and_interface(self, tmp_path):
+        from e_osvos_tpu.data.voc import VOC2012Index
+
+        idx = VOC2012Index(self._make_voc(tmp_path), split="train")
+        assert len(idx.sequences) == 2
+        name = sorted(idx.sequences)[0]
+        seq = idx.sequences[name]
+        assert len(seq) == 1
+        img = idx.get_image(name, 0)
+        lab = idx.get_label(name, 0)
+        assert img.shape == (30, 40, 3)
+        assert set(np.unique(lab)) <= {0, 1, 255}
+        assert lab[10, 10] == 1  # class id collapsed to fg
+        assert lab[0, 0] == 255  # void preserved
+
+
+class TestYouTubeVOSIndex:
+    def _make_ytvos(self, tmp_path):
+        import json
+        from PIL import Image
+        from e_osvos_tpu.utils.png import davis_palette
+
+        base = tmp_path / "valid"
+        for seq in ["vid_a"]:
+            (base / "JPEGImages" / seq).mkdir(parents=True)
+            (base / "Annotations" / seq).mkdir(parents=True)
+        rng = np.random.RandomState(0)
+        frames = ["00000", "00005", "00010", "00015"]
+        for f in frames:
+            img = rng.randint(0, 255, (24, 32, 3), np.uint8)
+            Image.fromarray(img).save(base / "JPEGImages" / "vid_a" / f"{f}.jpg")
+        # object 1 appears at frame 0, object 2 appears at frame 00010
+        for f, ids in [("00000", [1]), ("00010", [1, 2])]:
+            lab = np.zeros((24, 32), np.uint8)
+            if 1 in ids:
+                lab[2:8, 2:8] = 1
+            if 2 in ids:
+                lab[10:16, 10:20] = 2
+            im = Image.fromarray(lab, mode="P")
+            im.putpalette(davis_palette().flatten().tolist())
+            im.save(base / "Annotations" / "vid_a" / f"{f}.png")
+        meta = {
+            "videos": {
+                "vid_a": {
+                    "objects": {
+                        "1": {"category": "cat", "frames": ["00000", "00010"]},
+                        "2": {"category": "dog", "frames": ["00010", "00015"]},
+                    }
+                }
+            }
+        }
+        with open(base / "meta.json", "w") as f:
+            json.dump(meta, f)
+        return str(tmp_path)
+
+    def test_per_object_support_frames(self, tmp_path):
+        """YT-VOS objects appear mid-sequence: each group carries its own
+        support frame (youtube.py:131-185 parity)."""
+        from e_osvos_tpu.data.datasets import YouTubeVOSIndex
+
+        idx = YouTubeVOSIndex(self._make_ytvos(tmp_path), split="valid",
+                              multi_object="single_id")
+        seq = idx.sequences["vid_a"]
+        assert len(seq) == 4
+        groups = {g.object_ids[0]: g.support_frame for g in seq.object_groups}
+        assert groups == {1: 0, 2: 2}  # frame index 2 == "00010"
+        # unannotated frames report None labels
+        assert idx.get_label("vid_a", 1) is None
+        assert idx.get_label("vid_a", 2) is not None
+
+    def test_all_mode_groups_by_first_frame(self, tmp_path):
+        from e_osvos_tpu.data.datasets import YouTubeVOSIndex
+
+        idx = YouTubeVOSIndex(self._make_ytvos(tmp_path), split="valid",
+                              multi_object="all")
+        seq = idx.sequences["vid_a"]
+        assert len(seq.object_groups) == 2
+        assert seq.object_groups[0].object_ids == (1,)
+        assert seq.object_groups[1].object_ids == (2,)

@@ -201,3 +201,75 @@ class TestMaskRCNNForward:
             rngs={"sample": jax.random.PRNGKey(5)},
         )
         assert det.boxes.shape[1] == TINY_ROI.detections_per_img
+
+
+@pytest.mark.slow
+class TestDetectionOneShot:
+    """End-to-end detection one-shot eval on the synthetic fixture
+    (fine-tune Mask R-CNN on frame 0 → propagate with box carry)."""
+
+    def test_eval_sequence_runs(self):
+        from e_osvos_tpu.data.synthetic import SyntheticVOSIndex
+        from e_osvos_tpu.data.transforms import AugmentConfig
+        from e_osvos_tpu.engine.one_shot_detection import (
+            DetectionOneShotConfig,
+            DetectionOneShotEvaluator,
+        )
+        from e_osvos_tpu.meta_optim import MetaOptimConfig, init_meta_params
+
+        model = tiny_model()
+        imgs = jnp.zeros((1, SIZE, SIZE, 3), jnp.float32)
+        variables = model.init(
+            {"params": jax.random.PRNGKey(0), "sample": jax.random.PRNGKey(1)},
+            imgs,
+        )
+        meta_cfg = MetaOptimConfig(init_lr=1e-3, use_log_init_lr=False)
+        meta_params = init_meta_params(meta_cfg, variables)
+
+        cfg = DetectionOneShotConfig(
+            num_epochs=2,
+            batch_size=2,
+            augment=AugmentConfig(scale_min=0.95, scale_max=1.05,
+                                  rot_deg=5.0, flip_prob=0.0),
+        )
+        ev = DetectionOneShotEvaluator(model, meta_cfg, cfg)
+        index = SyntheticVOSIndex(num_sequences=1, num_frames=3,
+                                  size=(SIZE, SIZE), num_objects=1, seed=4)
+        res = ev.eval_sequence(index, "seq00", meta_params,
+                               jax.random.PRNGKey(7))
+        assert res["merged"].shape == (3, SIZE, SIZE)
+        assert np.isfinite(res["J_mean"]) or np.isnan(res["J_mean"])
+        assert res["probs"].shape == (1, 3, SIZE, SIZE)
+
+    def test_ona_refit_runs(self):
+        from e_osvos_tpu.data.synthetic import SyntheticVOSIndex
+        from e_osvos_tpu.data.transforms import AugmentConfig
+        from e_osvos_tpu.engine.one_shot_detection import (
+            DetectionOneShotConfig,
+            DetectionOneShotEvaluator,
+        )
+        from e_osvos_tpu.meta_optim import MetaOptimConfig, init_meta_params
+
+        model = tiny_model()
+        variables = model.init(
+            {"params": jax.random.PRNGKey(0), "sample": jax.random.PRNGKey(1)},
+            jnp.zeros((1, SIZE, SIZE, 3), jnp.float32),
+        )
+        meta_cfg = MetaOptimConfig(init_lr=1e-3, use_log_init_lr=False)
+        meta_params = init_meta_params(meta_cfg, variables)
+        cfg = DetectionOneShotConfig(
+            num_epochs=1,
+            batch_size=1,
+            online_adapt_step=2,
+            online_adapt_epochs=1,
+            ona_only_box_head=True,
+            augment=AugmentConfig(scale_min=1.0, scale_max=1.0, rot_deg=0.0,
+                                  flip_prob=0.0, brightness=0.0,
+                                  contrast=0.0, saturation=0.0),
+        )
+        ev = DetectionOneShotEvaluator(model, meta_cfg, cfg)
+        index = SyntheticVOSIndex(num_sequences=1, num_frames=5,
+                                  size=(SIZE, SIZE), num_objects=1, seed=5)
+        res = ev.eval_sequence(index, "seq00", meta_params,
+                               jax.random.PRNGKey(9))
+        assert res["merged"].shape == (5, SIZE, SIZE)

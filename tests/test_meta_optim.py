@@ -240,3 +240,104 @@ class TestLrMasking:
         out = mask_lrs_by_path(lrs, ["backbone"], keep_matching=False)
         assert float(out["backbone"]["w"].max()) == 0.0
         assert float(out["head"]["w"].min()) == 1.0
+
+
+class TestMultiStepBpttWeights:
+    """multi_step_bptt_loss parity (cfgs/meta.yaml:19): per-segment weights
+    on the accumulated query losses."""
+
+    def test_uniform_weights_match_default(self, params):
+        from e_osvos_tpu.meta_optim.meta_optimizer import meta_loss
+
+        cfg = MetaOptimConfig(init_lr=0.05)
+        mp = init_meta_params(cfg, params)
+        task = make_task(jax.random.key(11))
+        batches = stacked_batches(task, 4)
+        base, _ = meta_loss(cfg, loss_fn, loss_fn, mp, batches, task,
+                            bptt_epochs=2)
+        # uniform weights (0.5, 0.5) scaled by num_segments == default
+        w, _ = meta_loss(cfg, loss_fn, loss_fn, mp, batches, task,
+                         bptt_epochs=2, segment_weights=(0.5, 0.5))
+        np.testing.assert_allclose(float(base), float(w), rtol=1e-6)
+
+    def test_weighting_shifts_loss(self, params):
+        from e_osvos_tpu.meta_optim.meta_optimizer import meta_loss
+
+        cfg = MetaOptimConfig(init_lr=0.05)
+        mp = init_meta_params(cfg, params)
+        task = make_task(jax.random.key(12))
+        batches = stacked_batches(task, 4)
+        early, _ = meta_loss(cfg, loss_fn, loss_fn, mp, batches, task,
+                             bptt_epochs=2, segment_weights=(1.0, 0.0))
+        late, _ = meta_loss(cfg, loss_fn, loss_fn, mp, batches, task,
+                            bptt_epochs=2, segment_weights=(0.0, 1.0))
+        assert float(early) != float(late)
+
+    def test_length_mismatch_raises(self, params):
+        from e_osvos_tpu.meta_optim.meta_optimizer import meta_loss
+
+        cfg = MetaOptimConfig(init_lr=0.05)
+        mp = init_meta_params(cfg, params)
+        task = make_task(jax.random.key(13))
+        with pytest.raises(ValueError, match="segment_weights"):
+            meta_loss(cfg, loss_fn, loss_fn, mp, stacked_batches(task, 4),
+                      task, bptt_epochs=2, segment_weights=(1.0,))
+
+
+class TestSecondOrderSubtrees:
+    """Selective second-order gradients (reference limits create_graph to
+    roi_heads, meta_optim.py:195-199 + mask_rcnn.py:536-544)."""
+
+    def test_subset_between_first_and_full_second_order(self, params):
+        task = make_task(jax.random.key(21))
+        batches = stacked_batches(task, 4)
+        grads = {}
+        for name, cfg in {
+            "first": MetaOptimConfig(init_lr=0.05,
+                                     second_order_gradients=False),
+            "full": MetaOptimConfig(init_lr=0.05,
+                                    second_order_gradients=True),
+            "w_only": MetaOptimConfig(init_lr=0.05,
+                                      second_order_gradients=True,
+                                      second_order_subtrees=("w",)),
+        }.items():
+            mp = init_meta_params(cfg, params)
+            _, g, _ = meta_grads(cfg, loss_fn, loss_fn, mp, batches, task,
+                                 bptt_epochs=4)
+            grads[name] = g
+        # the subset mode is a distinct point between the two extremes
+        # (detaching b's inner grads cuts cross-terms, so even w differs
+        # from full second order)
+        assert not np.allclose(
+            np.asarray(grads["w_only"].model_init["b"]),
+            np.asarray(grads["full"].model_init["b"]),
+        )
+        assert not np.allclose(
+            np.asarray(grads["w_only"].model_init["w"]),
+            np.asarray(grads["first"].model_init["w"]),
+        )
+        # naming every subtree recovers full second order exactly
+        cfg_all = MetaOptimConfig(init_lr=0.05, second_order_gradients=True,
+                                  second_order_subtrees=("w", "b"))
+        mp = init_meta_params(cfg_all, params)
+        _, g_all, _ = meta_grads(cfg_all, loss_fn, loss_fn, mp, batches,
+                                 task, bptt_epochs=4)
+        np.testing.assert_allclose(
+            np.asarray(g_all.model_init["w"]),
+            np.asarray(grads["full"].model_init["w"]),
+            rtol=1e-6,
+        )
+
+
+class TestFrozenCollections:
+    def test_constants_get_zero_lr(self):
+        """Full flax variables dicts: 'constants' (frozen-BN stats) must
+        never be updated by the inner SGD."""
+        variables = {
+            "params": {"w": jnp.ones((2, 3))},
+            "constants": {"scale": jnp.ones((3,))},
+        }
+        cfg = MetaOptimConfig(init_lr=0.1, use_log_init_lr=False)
+        mp = init_meta_params(cfg, variables)
+        assert float(mp.log_init_lr["constants"]["scale"].max()) == 0.0
+        assert float(mp.log_init_lr["params"]["w"].min()) == pytest.approx(0.1)

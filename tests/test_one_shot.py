@@ -115,3 +115,34 @@ class TestOneShotEndToEnd:
         assert res["probs"].shape == (2, 2, 48, 48)
         assert set(np.unique(res["merged"])) <= {0, 1, 2}
         assert len(res["J_per_object"]) == 2
+
+
+@pytest.mark.slow
+class TestObjectBatchedEval:
+    def test_batched_matches_shapes_and_is_finite(self):
+        """Multi-object sequence evaluated with objects as a vmap batch axis
+        (SURVEY.md §7 step 4) — one compiled program for all objects."""
+        idx = SyntheticVOSIndex(
+            num_sequences=1, num_frames=3, size=(48, 48), num_objects=2,
+            seed=3,
+        )
+        model = tiny_model()
+        params = model.init(jax.random.key(0), jnp.zeros((1, 48, 48, 3)))
+        meta_cfg = MetaOptimConfig(init_lr=0.02)
+        meta_params = init_meta_params(meta_cfg, params)
+        cfg = OneShotConfig(num_epochs=3, batch_size=2, loss_func="dice",
+                            augment=MILD_AUG)
+        ev = OneShotEvaluator(lambda p, x: model.apply(p, x), meta_cfg, cfg,
+                              batch_objects=True)
+        res = ev.eval_sequence(idx, "seq00", meta_params, jax.random.key(1))
+        assert res["probs"].shape == (2, 3, 48, 48)
+        assert res["merged"].shape == (3, 48, 48)
+        assert np.isfinite(res["probs"]).all()
+        # support frame carries the GT labels exactly
+        gt0 = idx.get_label("seq00", 0)
+        np.testing.assert_array_equal(
+            res["probs"][0, 0] > 0.5, gt0 == 1
+        )
+        np.testing.assert_array_equal(
+            res["probs"][1, 0] > 0.5, gt0 == 2
+        )

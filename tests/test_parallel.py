@@ -89,7 +89,7 @@ class TestShardedMetaStep:
             model.apply,
             meta_cfg,
             MetaStepConfig(num_epochs=2, bptt_epochs=2, train_batch_size=2,
-                           augment=MILD),
+                           remat=False, augment=MILD),
             OuterOptimConfig(model_init_lr=1e-4, log_init_lr_lr=1e-4),
             mesh,
             meta_batch_size=n_tasks,
@@ -112,7 +112,8 @@ class TestShardedMetaStep:
         model, params, _, taskset = setup
         meta_cfg = MetaOptimConfig(init_lr=1e-3, use_log_init_lr=False)
         step_cfg = MetaStepConfig(num_epochs=2, bptt_epochs=2,
-                                  train_batch_size=2, augment=MILD)
+                                  train_batch_size=2, remat=False,
+                                  augment=MILD)
         outer = OuterOptimConfig(model_init_lr=1e-4, log_init_lr_lr=1e-4)
         batch_np = taskset.sample_batch(4)
         results = []
@@ -158,7 +159,8 @@ class TestMetaTrainer:
             taskset=taskset,
             meta_cfg=MetaOptimConfig(init_lr=1e-2, use_log_init_lr=False),
             step_cfg=MetaStepConfig(num_epochs=2, bptt_epochs=2,
-                                    train_batch_size=2, augment=MILD),
+                                    train_batch_size=2, remat=False,
+                                    augment=MILD),
             outer_cfg=OuterOptimConfig(model_init_lr=1e-3,
                                        log_init_lr_lr=1e-3),
             train_cfg=MetaTrainConfig(meta_batch_size=4, num_meta_iters=6,
@@ -181,7 +183,8 @@ class TestMetaTrainer:
             taskset=taskset,
             meta_cfg=MetaOptimConfig(init_lr=1e-2, use_log_init_lr=False),
             step_cfg=MetaStepConfig(num_epochs=2, bptt_epochs=2,
-                                    train_batch_size=2, augment=MILD),
+                                    train_batch_size=2, remat=False,
+                                    augment=MILD),
             outer_cfg=OuterOptimConfig(model_init_lr=1e-3,
                                        log_init_lr_lr=1e-3),
             train_cfg=MetaTrainConfig(meta_batch_size=4,
@@ -196,3 +199,52 @@ class TestMetaTrainer:
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
         # metrics jsonl written
         assert (tmp_path / "m.jsonl").read_text().count("meta_train") >= 2
+
+
+@pytest.mark.slow
+class TestDetectionMetaStep:
+    """Meta-training the DETECTION family (Mask R-CNN, the reference's
+    default architecture) through the same SPMD step via task_fns
+    injection."""
+
+    def test_detection_meta_step_runs(self):
+        from e_osvos_tpu.models import MaskRCNN, RoIConfig, RPNConfig
+        from e_osvos_tpu.parallel.meta_step import detection_task_fns
+
+        model = MaskRCNN(
+            arch="resnet10", backbone_norm="group4",
+            rpn=RPNConfig(anchor_sizes=(8, 16, 32, 64, 128),
+                          pre_nms_top_n=32, post_nms_top_n=16,
+                          batch_size_per_image=16),
+            roi=RoIConfig(batch_size_per_image=8, detections_per_img=1),
+        )
+        variables = model.init(
+            {"params": jax.random.PRNGKey(0), "sample": jax.random.PRNGKey(1)},
+            jnp.zeros((1,) + SIZE + (3,), jnp.float32),
+        )
+        index = SyntheticVOSIndex(num_sequences=2, num_frames=3, size=SIZE,
+                                  num_objects=1, seed=9)
+        taskset = MetaTaskset(
+            [index], MetaTasksetConfig(num_query_frames=1, crop_size=SIZE),
+            seed=0,
+        )
+        mesh = make_mesh(num_tasks=2, devices=jax.devices()[:2])
+        meta_cfg = MetaOptimConfig(init_lr=1e-3, use_log_init_lr=False)
+        step_cfg = MetaStepConfig(num_epochs=1, bptt_epochs=1,
+                                  train_batch_size=1, remat=False,
+                                  augment=MILD)
+        step = make_meta_step(
+            model.apply,  # unused when task_fns given, kept for signature
+            meta_cfg,
+            step_cfg,
+            OuterOptimConfig(model_init_lr=1e-5, log_init_lr_lr=1e-5),
+            mesh,
+            meta_batch_size=2,
+            task_fns=detection_task_fns(model, step_cfg),
+        )
+        mp = init_meta_params(meta_cfg, variables)
+        opt_state = step.init(mp)
+        batch = shard_task_batch(mesh, taskset.sample_batch(2))
+        out = step(mp, opt_state, batch)
+        assert np.isfinite(float(out.meta_loss))
+        assert out.per_task_loss.shape == (2,)
