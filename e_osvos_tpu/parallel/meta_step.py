@@ -233,6 +233,7 @@ class MetaStep:
         self.mesh = mesh
         self.meta_batch_size = meta_batch_size
         self._outer_tx: Optional[optax.GradientTransformation] = None
+        self._jitted_step = None
         self._task_fns = task_fns
         self._build(model_apply)
 
@@ -310,16 +311,7 @@ class MetaStep:
             check_vma=False,
         )
 
-    def __call__(self, meta_params: MetaParams, opt_state, task_batch) -> MetaStepOut:
-        if self._outer_tx is None:
-            raise RuntimeError("call .init(meta_params) before stepping")
-        batch = (
-            task_batch.support_img.astype(jnp.float32),
-            task_batch.support_label.astype(jnp.int32),
-            task_batch.query_imgs.astype(jnp.float32),
-            task_batch.query_labels.astype(jnp.int32),
-            task_batch.seeds.astype(jnp.uint32),
-        )
+    def _step_impl(self, meta_params: MetaParams, opt_state, batch) -> MetaStepOut:
         mean_loss, grads, per_task, train_losses = self._sharded_grads(
             meta_params, batch
         )
@@ -333,3 +325,20 @@ class MetaStep:
             per_task_loss=per_task,
             train_losses=train_losses,
         )
+
+    def __call__(self, meta_params: MetaParams, opt_state, task_batch) -> MetaStepOut:
+        if self._outer_tx is None:
+            raise RuntimeError("call .init(meta_params) before stepping")
+        if self._jitted_step is None:
+            # the WHOLE step (sharded grads + outer RAdam + clamp) must be
+            # one jitted program: an eager outer update dispatches thousands
+            # of per-leaf ops, which is catastrophic over a remote runtime
+            self._jitted_step = jax.jit(self._step_impl)
+        batch = (
+            task_batch.support_img.astype(jnp.float32),
+            task_batch.support_label.astype(jnp.int32),
+            task_batch.query_imgs.astype(jnp.float32),
+            task_batch.query_labels.astype(jnp.int32),
+            task_batch.seeds.astype(jnp.uint32),
+        )
+        return self._jitted_step(meta_params, opt_state, batch)

@@ -1,0 +1,83 @@
+"""e-OSVOS-T runtime curve: s/frame vs fine-tune steps T on one TPU chip.
+
+Reproduces the reference's paper-figure sweep (BASELINE.md rows 9-10:
+s/frame = 0.14 / 0.164 / 0.18 / 0.234 / 0.397 / 0.69 at
+T = 1 / 5 / 10 / 20 / 50 / 100 on V100). No online adaptation, matching
+the reference sweep configuration. Writes jsonl rows + prints a table.
+
+Run on real TPU:  python scripts/bench_sweep.py
+"""
+
+import json
+import sys
+import time
+
+sys.path.insert(0, ".")
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+REFERENCE_S_PER_FRAME = {1: 0.14, 5: 0.164, 10: 0.18, 20: 0.234, 50: 0.397,
+                         100: 0.69}
+
+
+def main():
+    from e_osvos_tpu.data.synthetic import SyntheticVOSIndex
+    from e_osvos_tpu.data.transforms import AugmentConfig
+    from e_osvos_tpu.engine import OneShotConfig, OneShotEvaluator
+    from e_osvos_tpu.meta_optim import MetaOptimConfig, init_meta_params
+    from e_osvos_tpu.models import DeepLabV3Plus
+
+    H, W, T_FRAMES = 480, 854, 20
+    model = DeepLabV3Plus(
+        num_classes=1, arch="resnet50", backbone_norm="frozen_bn",
+        output_stride=16, dtype=jnp.bfloat16,
+    )
+    params = model.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, H, W, 3), jnp.float32)
+    )
+    meta_cfg = MetaOptimConfig(init_lr=1e-3, use_log_init_lr=False)
+    meta_params = init_meta_params(meta_cfg, params)
+    index = SyntheticVOSIndex(num_sequences=2, num_frames=T_FRAMES,
+                              size=(H, W), seed=0)
+    key = jax.random.PRNGKey(0)
+
+    rows = []
+    for T in (1, 5, 10, 20, 50, 100):
+        cfg = OneShotConfig(num_epochs=T, batch_size=3, loss_func="dice",
+                            augment=AugmentConfig())
+        ev = OneShotEvaluator(model.apply, meta_cfg, cfg)
+
+        def run(name):
+            seq = index.sequences[name]
+            frames = jnp.asarray(
+                np.stack([index.get_image(name, t) for t in range(len(seq))])
+            )
+            probs = ev._eval_object_group(
+                index, seq, frames, seq.object_groups[0], meta_params, key,
+                None,
+            )
+            return np.asarray((probs >= 0.5).astype(jnp.uint8))
+
+        run("seq00")  # warm
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            run("seq01")
+            best = min(best, time.perf_counter() - t0)
+        spf = best / T_FRAMES
+        ref = REFERENCE_S_PER_FRAME[T]
+        row = {"T": T, "s_per_frame": round(spf, 4),
+               "fps": round(1 / spf, 3),
+               "ref_s_per_frame": ref,
+               "speedup_vs_ref": round(ref / spf, 2)}
+        rows.append(row)
+        print(json.dumps(row), flush=True)
+
+    with open("BENCH_SWEEP.json", "w") as f:
+        json.dump(rows, f, indent=1)
+
+
+if __name__ == "__main__":
+    main()
