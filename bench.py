@@ -34,7 +34,9 @@ def main():
     from e_osvos_tpu.meta_optim import MetaOptimConfig, init_meta_params
     from e_osvos_tpu.models import DeepLabV3Plus
 
-    H, W, T = 480, 854, 20
+    # 67 frames = DAVIS-2017 val average sequence length, so the one-shot
+    # fine-tune amortizes over the same horizon as the reference's timing
+    H, W, T = 480, 854, 67
 
     # flagship config: frozen-BN backbone (the reference parent default) at
     # output stride 16 — the DeepLab paper's standard setting; the decoder

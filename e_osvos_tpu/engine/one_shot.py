@@ -242,6 +242,18 @@ class OneShotEvaluator:
             )
 
         self._jit_ona_ft = jax.jit(_ona_ft)
+        # object-batched OnA: the per-window (segment → pseudo-GT → re-fit)
+        # chain vmapped over the object axis; windows remain a host loop so
+        # ragged final windows only add one extra compile
+        self._jit_seg_objs_w = self._jit_seg_objs
+
+        def _ona_ft_obj(meta_params, img, label, prop_imgs, prop_labels, params):
+            return _ona_ft(meta_params, None, img, label, prop_imgs,
+                           prop_labels, params)[0]
+
+        self._jit_ona_ft_objs = jax.jit(
+            jax.vmap(_ona_ft_obj, in_axes=(None, None, 0, None, 0, 0))
+        )
 
     # ---- per-sequence driver (host loop over OnA windows) ----
 
@@ -262,12 +274,7 @@ class OneShotEvaluator:
 
         groups = seq.object_groups
         same_support = len({g.support_frame for g in groups}) == 1
-        if (
-            self.batch_objects
-            and len(groups) > 1
-            and same_support
-            and self.cfg.online_adapt_step == 0
-        ):
+        if self.batch_objects and len(groups) > 1 and same_support:
             probs = self._eval_objects_batched(
                 index, seq, frames_j, meta_params, key, init_params
             )  # [O,T,H,W]
@@ -325,9 +332,11 @@ class OneShotEvaluator:
         init_params: Any,
     ) -> Array:
         """All object groups fine-tuned and propagated in ONE vmapped
-        program (SURVEY.md §7 step 4: objects as a batch axis). Requires a
-        shared support frame (DAVIS protocol); online adaptation uses the
-        serial path. Returns [O,T,H,W] probabilities."""
+        program (SURVEY.md §7 step 4: objects as a batch axis), including
+        online-adaptation re-fits (the reference loops objects serially,
+        evaluate.py:132). Requires a shared support frame (DAVIS protocol).
+        Returns [O,T,H,W] probabilities."""
+        cfg = self.cfg
         groups = seq.object_groups
         sf = groups[0].support_frame
         gt = index.get_label(seq.name, sf)
@@ -342,7 +351,35 @@ class OneShotEvaluator:
             meta_params, keys, frames_j[sf], labels, init_params
         )
         T = frames_j.shape[0]
-        probs = self._jit_seg_objs(params_o, frames_j)  # [O,T,H,W]
+        if cfg.online_adapt_step <= 0:
+            probs = self._jit_seg_objs(params_o, frames_j)  # [O,T,H,W]
+        else:
+            O = len(groups)
+            probs = jnp.zeros((O, T) + frames_j.shape[1:3], jnp.float32)
+            step = cfg.online_adapt_step
+            start = sf + 1
+            while start < T:
+                end = min(start + step, T)
+                window = frames_j[start:end]
+                w_probs = self._jit_seg_objs(params_o, window)  # [O,w,H,W]
+                probs = probs.at[:, start:end].set(w_probs)
+                if end < T:
+                    k = min(step, cfg.batch_size)
+                    sel = w_probs[:, -k:]
+                    pseudo = jnp.where(
+                        sel >= cfg.online_adapt_min_prop,
+                        1,
+                        jnp.where(
+                            sel <= 1.0 - cfg.online_adapt_min_prop, 0, 255
+                        ),
+                    ).astype(jnp.int32)
+                    has_fg = jnp.any(pseudo == 1, axis=(2, 3))
+                    pseudo = jnp.where(has_fg[:, :, None, None], pseudo, 255)
+                    params_o = self._jit_ona_ft_objs(
+                        meta_params, frames_j[sf], labels, window[-k:],
+                        pseudo, params_o,
+                    )
+                start = end
         # support frame gets GT (void 255 excluded); frames before it stay 0
         probs = probs.at[:, sf].set((labels == 1).astype(jnp.float32))
         if sf > 0:

@@ -29,7 +29,8 @@ def main():
     from e_osvos_tpu.meta_optim import MetaOptimConfig, init_meta_params
     from e_osvos_tpu.models import DeepLabV3Plus
 
-    H, W, T_FRAMES = 480, 854, 20
+    # 67 frames = DAVIS-2017 val average sequence length (amortization parity)
+    H, W, T_FRAMES = 480, 854, 67
     model = DeepLabV3Plus(
         num_classes=1, arch="resnet50", backbone_norm="frozen_bn",
         output_stride=16, dtype=jnp.bfloat16,

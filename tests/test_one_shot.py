@@ -146,3 +146,29 @@ class TestObjectBatchedEval:
         np.testing.assert_array_equal(
             res["probs"][1, 0] > 0.5, gt0 == 2
         )
+
+    def test_batched_with_online_adaptation(self):
+        """Object-batched path with OnA enabled: the per-window re-fit is
+        vmapped over objects too."""
+        idx = SyntheticVOSIndex(
+            num_sequences=1, num_frames=5, size=(48, 48), num_objects=2,
+            seed=6,
+        )
+        model = tiny_model()
+        params = model.init(jax.random.key(0), jnp.zeros((1, 48, 48, 3)))
+        meta_cfg = MetaOptimConfig(init_lr=0.02)
+        meta_params = init_meta_params(meta_cfg, params)
+        cfg = OneShotConfig(num_epochs=2, batch_size=2, loss_func="dice",
+                            online_adapt_step=2, online_adapt_epochs=2,
+                            augment=MILD_AUG)
+        ev = OneShotEvaluator(lambda p, x: model.apply(p, x), meta_cfg, cfg,
+                              batch_objects=True)
+        res = ev.eval_sequence(idx, "seq00", meta_params, jax.random.key(2))
+        assert res["probs"].shape == (2, 5, 48, 48)
+        assert np.isfinite(res["probs"]).all()
+        # serial path must produce the same shapes (and both must run)
+        ev_serial = OneShotEvaluator(lambda p, x: model.apply(p, x),
+                                     meta_cfg, cfg, batch_objects=False)
+        res_s = ev_serial.eval_sequence(idx, "seq00", meta_params,
+                                        jax.random.key(2))
+        assert res_s["probs"].shape == (2, 5, 48, 48)
