@@ -50,7 +50,8 @@ static void jpeg_err_exit(j_common_ptr cinfo) {
   longjmp(e->jb, 1);
 }
 
-int vos_decode_jpeg(const char* path, uint8_t* out, int* h, int* w) {
+int vos_decode_jpeg_cap(const char* path, uint8_t* out, int* h, int* w,
+                        long cap) {
   FILE* f = fopen(path, "rb");
   if (!f) return -1;
   jpeg_decompress_struct cinfo;
@@ -75,6 +76,12 @@ int vos_decode_jpeg(const char* path, uint8_t* out, int* h, int* w) {
     fclose(f);
     return 0;
   }
+  if (cap >= 0 && (long)cinfo.output_height * cinfo.output_width * 3 > cap) {
+    jpeg_abort_decompress(&cinfo);
+    jpeg_destroy_decompress(&cinfo);
+    fclose(f);
+    return -4;  // output exceeds caller buffer
+  }
   int stride = cinfo.output_width * cinfo.output_components;
   while (cinfo.output_scanline < cinfo.output_height) {
     uint8_t* row = out + (size_t)cinfo.output_scanline * stride;
@@ -92,7 +99,8 @@ int vos_decode_jpeg(const char* path, uint8_t* out, int* h, int* w) {
 // PNGs decode to their 8-bit values. Returns 0 on success.
 // ---------------------------------------------------------------------------
 
-int vos_decode_png_indexed(const char* path, uint8_t* out, int* h, int* w) {
+int vos_decode_png_indexed_cap(const char* path, uint8_t* out, int* h,
+                               int* w, long cap) {
   FILE* f = fopen(path, "rb");
   if (!f) return -1;
   png_byte header[8];
@@ -123,6 +131,11 @@ int vos_decode_png_indexed(const char* path, uint8_t* out, int* h, int* w) {
     fclose(f);
     return 0;
   }
+  if (cap >= 0 && (long)height * width > cap) {
+    png_destroy_read_struct(&png, &info, nullptr);
+    fclose(f);
+    return -4;  // output exceeds caller buffer
+  }
   // keep palette indices: expand sub-byte depths to 1 byte per pixel but do
   // NOT expand palette to RGB
   if (depth == 16) png_set_strip_16(png);
@@ -144,6 +157,14 @@ int vos_decode_png_indexed(const char* path, uint8_t* out, int* h, int* w) {
   return 0;
 }
 
+int vos_decode_jpeg(const char* path, uint8_t* out, int* h, int* w) {
+  return vos_decode_jpeg_cap(path, out, h, w, -1);
+}
+
+int vos_decode_png_indexed(const char* path, uint8_t* out, int* h, int* w) {
+  return vos_decode_png_indexed_cap(path, out, h, w, -1);
+}
+
 // ---------------------------------------------------------------------------
 // Prefetch pool: N worker threads decode submitted files into caller-owned
 // slot buffers. The host pipeline submits the next window's frames, lets the
@@ -155,6 +176,7 @@ struct Job {
   uint8_t* out;
   int kind;  // 0 = jpeg RGB, 1 = indexed png
   int slot;
+  long cap;  // caller buffer capacity in bytes (-1 = unchecked)
 };
 
 struct Loader {
@@ -186,9 +208,10 @@ struct Loader {
       }
       int h = 0, w = 0, rc;
       if (job.kind == 0)
-        rc = vos_decode_jpeg(job.path.c_str(), job.out, &h, &w);
+        rc = vos_decode_jpeg_cap(job.path.c_str(), job.out, &h, &w, job.cap);
       else
-        rc = vos_decode_png_indexed(job.path.c_str(), job.out, &h, &w);
+        rc = vos_decode_png_indexed_cap(job.path.c_str(), job.out, &h, &w,
+                                        job.cap);
       dims[2 * job.slot] = h;
       dims[2 * job.slot + 1] = w;
       status[job.slot].store(rc == 0 ? 1 : rc);
@@ -213,16 +236,22 @@ void* vos_loader_create(int num_threads, int num_slots) {
 void vos_loader_destroy(void* loader) { delete static_cast<Loader*>(loader); }
 
 // Submit a decode into `slot`; `out` must stay valid until the slot reports
-// done. kind: 0 jpeg, 1 indexed png.
-void vos_loader_submit(void* loader, const char* path, uint8_t* out, int kind,
-                       int slot) {
+// done. kind: 0 jpeg, 1 indexed png. `cap` bounds the bytes written (-1 =
+// unchecked; the capped form refuses frames larger than the slot buffer).
+void vos_loader_submit_cap(void* loader, const char* path, uint8_t* out,
+                           int kind, int slot, long cap) {
   Loader* l = static_cast<Loader*>(loader);
   l->status[slot].store(0);
   {
     std::lock_guard<std::mutex> lk(l->mu);
-    l->queue.push_back(Job{path, out, kind, slot});
+    l->queue.push_back(Job{path, out, kind, slot, cap});
   }
   l->cv.notify_one();
+}
+
+void vos_loader_submit(void* loader, const char* path, uint8_t* out, int kind,
+                       int slot) {
+  vos_loader_submit_cap(loader, path, out, kind, slot, -1);
 }
 
 // Block until `slot` finishes; returns 1 ok / negative error. Fills h/w.

@@ -60,6 +60,14 @@ def _load() -> Optional[ctypes.CDLL]:
         ctypes.c_int,
         ctypes.c_int,
     ]
+    lib.vos_loader_submit_cap.argtypes = [
+        ctypes.c_void_p,
+        ctypes.c_char_p,
+        ctypes.c_void_p,
+        ctypes.c_int,
+        ctypes.c_int,
+        ctypes.c_long,
+    ]
     lib.vos_loader_wait.restype = ctypes.c_int
     lib.vos_loader_wait.argtypes = [
         ctypes.c_void_p,
@@ -143,12 +151,14 @@ class PrefetchLoader:
         self._kinds: List[int] = [0] * num_slots
 
     def submit(self, slot: int, path: str, kind: int = 0) -> None:
-        """kind: 0 = jpeg RGB, 1 = indexed png (label)."""
+        """kind: 0 = jpeg RGB, 1 = indexed png (label). The slot's buffer
+        capacity bounds the decode — frames larger than the slot fail with
+        an error rather than overflowing."""
         buf = self._img_bufs[slot]
         self._kinds[slot] = kind
-        self._lib.vos_loader_submit(
+        self._lib.vos_loader_submit_cap(
             self._handle, path.encode(),
-            buf.ctypes.data_as(ctypes.c_void_p), kind, slot,
+            buf.ctypes.data_as(ctypes.c_void_p), kind, slot, buf.nbytes,
         )
 
     def wait(self, slot: int) -> np.ndarray:

@@ -267,10 +267,12 @@ class OneShotEvaluator:
     ) -> Dict[str, Any]:
         """Fine-tune + propagate one sequence; returns per-frame merged
         labels, per-object probs, and J/F statistics."""
+        from e_osvos_tpu.data.loader import load_frames
+
         seq = index.sequences[seq_name]
         T = len(seq)
-        frames = np.stack([index.get_image(seq_name, t) for t in range(T)])
-        frames_j = jnp.asarray(frames)
+        # native threaded prefetch when the sequence is JPEG-backed
+        frames_j = jnp.asarray(load_frames(index, seq_name))
 
         groups = seq.object_groups
         same_support = len({g.support_frame for g in groups}) == 1

@@ -222,11 +222,11 @@ class DetectionOneShotEvaluator:
         from e_osvos_tpu.ops import metrics as metric_ops
 
         cfg = self.cfg
+        from e_osvos_tpu.data.loader import load_frames
+
         seq = index.sequences[seq_name]
         T = len(seq)
-        frames = jnp.asarray(
-            np.stack([index.get_image(seq_name, t) for t in range(T)])
-        )
+        frames = jnp.asarray(load_frames(index, seq_name))
         K = self.model.roi.detections_per_img
 
         obj_probs = []

@@ -93,3 +93,41 @@ class TestDatasetIntegration:
 
         path, label = indexed_png
         np.testing.assert_array_equal(load_label(path), label)
+
+
+class TestLoadFrames:
+    def test_prefetched_sequence_matches_sequential(self, tmp_path):
+        from PIL import Image as PILImage
+        from e_osvos_tpu.data.datasets import DAVISIndex
+        from e_osvos_tpu.data.loader import load_frames
+
+        # small DAVIS-layout tree with jpgs
+        root = tmp_path / "DAVIS"
+        img_dir = root / "JPEGImages" / "480p" / "seq"
+        ann_dir = root / "Annotations" / "480p" / "seq"
+        img_dir.mkdir(parents=True)
+        ann_dir.mkdir(parents=True)
+        rng = np.random.RandomState(0)
+        T = 6
+        for t in range(T):
+            arr = rng.randint(0, 255, (22, 30, 3), np.uint8)
+            PILImage.fromarray(arr).save(img_dir / f"{t:05d}.jpg", quality=95)
+        lab = np.zeros((22, 30), np.uint8)
+        lab[4:10, 5:15] = 1
+        im = PILImage.fromarray(lab, mode="P")
+        im.putpalette(davis_palette().flatten().tolist())
+        im.save(ann_dir / "00000.png")
+
+        index = DAVISIndex(str(root), sequences=["seq"])
+        frames = load_frames(index, "seq")
+        ref = np.stack([index.get_image("seq", t) for t in range(T)])
+        np.testing.assert_array_equal(frames, ref)
+
+    def test_capacity_guard(self, tmp_path, jpeg_file):
+        path, _ = jpeg_file  # 37x53 frame
+        loader = native.PrefetchLoader(num_threads=1, num_slots=1,
+                                       max_hw=(8, 8))  # too small
+        loader.submit(0, path, kind=0)
+        with pytest.raises(IOError):
+            loader.wait(0)
+        loader.close()
