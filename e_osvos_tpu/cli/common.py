@@ -89,6 +89,22 @@ def build_indexes(cfg: Dict, role: str = "train") -> List:
             )
         elif name == "YouTube-VOS":
             indexes.append(YouTubeVOSIndex(root, split=split, multi_object=mode))
+        elif name == "Synthetic":
+            # in-memory moving-squares fixture (data/synthetic.py) — lets the
+            # full CLI run end-to-end without datasets on disk
+            from e_osvos_tpu.data.synthetic import SyntheticVOSIndex
+
+            syn = cfg.get("synthetic", {})
+            indexes.append(
+                SyntheticVOSIndex(
+                    num_sequences=int(syn.get("num_sequences", 2)),
+                    num_frames=int(syn.get("num_frames", 4)),
+                    size=tuple(syn.get("size", (64, 64))),
+                    num_objects=int(syn.get("num_objects", 1)),
+                    multi_object=mode,
+                    seed=int(cfg.get("seed", 1)),
+                )
+            )
         else:
             raise ValueError(f"unknown dataset {name!r}")
     return indexes

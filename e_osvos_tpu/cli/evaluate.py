@@ -103,6 +103,18 @@ def main(argv=None):
                         os.path.join(out, f"{t:05d}.png"),
                         res["merged"][t].astype(np.uint8),
                     )
+            if cfg.get("save_debug"):
+                # mask+contour overlays (reference best_eval_preds_debug,
+                # evaluate.py:384-425)
+                from e_osvos_tpu.utils.visualize import save_debug_overlay
+
+                dbg = os.path.join(str(cfg["save_debug"]), name)
+                for t in range(res["merged"].shape[0]):
+                    save_debug_overlay(
+                        os.path.join(dbg, f"{t:05d}.png"),
+                        index.get_image(name, t),
+                        res["merged"][t],
+                    )
     logger.log(
         "eval_total",
         J_mean=float(np.nanmean(all_j)) if all_j else float("nan"),
