@@ -30,7 +30,7 @@ from e_osvos_tpu.ops.boxes import (
     encode_boxes,
     remove_small_boxes_mask,
 )
-from e_osvos_tpu.ops.nms import batched_nms
+from e_osvos_tpu.ops.nms import batched_nms, fast_nms
 
 Array = jax.Array
 
@@ -43,6 +43,11 @@ class RPNConfig:
     pre_nms_top_n: int = 1000  # per level
     post_nms_top_n: int = 512
     nms_thresh: float = 0.7
+    # one-pass Fast-NMS for proposal selection (ops/nms.py::fast_nms):
+    # removes the max_out sequential greedy rounds from the per-frame path;
+    # slightly more aggressive suppression, which RPN consumers tolerate —
+    # set False for exact greedy (torchvision) semantics
+    use_fast_nms: bool = True
     min_size: float = 1e-3
     fg_iou_thresh: float = 0.7
     bg_iou_thresh: float = 0.3
@@ -127,10 +132,16 @@ def select_proposals(
         scores = jnp.concatenate(all_scores)
         levels = jnp.concatenate(all_levels)
         valid = jnp.concatenate(all_valid)
-        idx, keep = batched_nms(
-            boxes, jax.nn.sigmoid(scores), levels, cfg.nms_thresh,
-            cfg.post_nms_top_n, valid=valid,
-        )
+        if cfg.use_fast_nms:
+            idx, keep = fast_nms(
+                boxes, jax.nn.sigmoid(scores), cfg.nms_thresh,
+                cfg.post_nms_top_n, valid=valid, ids=levels,
+            )
+        else:
+            idx, keep = batched_nms(
+                boxes, jax.nn.sigmoid(scores), levels, cfg.nms_thresh,
+                cfg.post_nms_top_n, valid=valid,
+            )
         safe = jnp.maximum(idx, 0)
         return Proposals(
             boxes=jnp.where(keep[:, None], boxes[safe], 0.0),

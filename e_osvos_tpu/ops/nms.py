@@ -76,6 +76,54 @@ def nms(
     return out_idx, out_ok
 
 
+def fast_nms(
+    boxes: Array,
+    scores: Array,
+    iou_threshold: float,
+    max_out: int,
+    valid: Array | None = None,
+    ids: Array | None = None,
+) -> Tuple[Array, Array]:
+    """One-pass parallel NMS (YOLACT "Fast NMS" semantics): a box is
+    suppressed if ANY higher-scoring box overlaps it above the threshold —
+    computed as one upper-triangular IoU matrix reduction instead of
+    ``max_out`` sequential greedy rounds. Slightly more aggressive than
+    exact greedy NMS (a suppressed box can still suppress others), which is
+    fine for RPN proposal selection where the consumer re-scores everything;
+    use ``nms`` for final detections.
+
+    Returns (indices [max_out] sorted by score, keep mask)."""
+    from e_osvos_tpu.ops.boxes import box_iou
+
+    n = boxes.shape[0]
+    v = jnp.ones((n,), jnp.bool_) if valid is None else valid.astype(jnp.bool_)
+    if ids is not None:
+        max_coord = jnp.max(boxes) + 1.0
+        boxes = boxes + ids.astype(boxes.dtype)[:, None] * max_coord
+    # score order: higher-scoring first; ties broken by index
+    s = jnp.where(v, scores, -jnp.inf)
+    order = jnp.argsort(-s)
+    b_sorted = boxes[order]
+    v_sorted = v[order]
+    iou = box_iou(b_sorted, b_sorted)
+    tri = jnp.triu(jnp.ones((n, n), jnp.bool_), k=1)  # j suppressed by i<j
+    suppressed = jnp.any(
+        (iou > iou_threshold) & tri.T & v_sorted[None, :], axis=1
+    )
+    keep_sorted = v_sorted & ~suppressed
+    # stable-select the first max_out kept entries (already score-sorted)
+    rank = jnp.cumsum(keep_sorted) - 1
+    take = keep_sorted & (rank < max_out)
+    # scatter kept sorted-positions into the output slots (slot == max_out
+    # means "not taken" and is dropped as out-of-bounds)
+    out_idx = jnp.full((max_out,), -1, jnp.int32)
+    slot = jnp.where(take, rank, max_out)
+    out_idx = out_idx.at[slot].set(order.astype(jnp.int32), mode="drop")
+    out_ok = jnp.arange(max_out) < jnp.sum(take)
+    out_idx = jnp.where(out_ok, out_idx, -1)
+    return out_idx, out_ok
+
+
 def batched_nms(
     boxes: Array,
     scores: Array,

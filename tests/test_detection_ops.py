@@ -176,3 +176,57 @@ class TestRoiAlign:
         out = multiscale_roi_align(feats, boxes, (2, 2), scales)
         np.testing.assert_allclose(np.asarray(out)[0], 0.0)
         np.testing.assert_allclose(np.asarray(out)[1], 2.0)
+
+
+class TestFastNMS:
+    from e_osvos_tpu.ops.nms import fast_nms as _fast  # noqa
+
+    def test_non_overlapping_all_kept_sorted_by_score(self):
+        from e_osvos_tpu.ops.nms import fast_nms
+
+        boxes = jnp.array(
+            [[0, 0, 10, 10], [50, 50, 60, 60], [100, 0, 110, 10]], jnp.float32
+        )
+        scores = jnp.array([0.5, 0.9, 0.7])
+        idx, ok = fast_nms(boxes, scores, 0.5, 3)
+        assert list(np.asarray(idx)) == [1, 2, 0]
+        assert np.asarray(ok).all()
+
+    def test_suppresses_overlap_of_higher_scorer(self):
+        from e_osvos_tpu.ops.nms import fast_nms
+
+        boxes = jnp.array([[0, 0, 10, 10], [1, 1, 11, 11]], jnp.float32)
+        scores = jnp.array([0.9, 0.8])
+        idx, ok = fast_nms(boxes, scores, 0.5, 2)
+        kept = [int(i) for i, o in zip(np.asarray(idx), np.asarray(ok)) if o]
+        assert kept == [0]
+
+    def test_matches_greedy_when_no_chains(self):
+        """Without suppression chains fast and greedy NMS agree."""
+        from e_osvos_tpu.ops.nms import fast_nms, nms
+
+        key = jax.random.PRNGKey(3)
+        xy = jax.random.uniform(key, (40, 2)) * 300
+        wh = jax.random.uniform(jax.random.fold_in(key, 1), (40, 2)) * 10 + 2
+        boxes = jnp.concatenate([xy, xy + wh], -1)  # sparse, few overlaps
+        scores = jax.random.uniform(jax.random.fold_in(key, 2), (40,))
+        gi, gk = nms(boxes, scores, 0.5, 40)
+        fi, fk = fast_nms(boxes, scores, 0.5, 40)
+        greedy_kept = set(int(i) for i, o in zip(np.asarray(gi), np.asarray(gk)) if o)
+        fast_kept = set(int(i) for i, o in zip(np.asarray(fi), np.asarray(fk)) if o)
+        # fast suppression is a superset: kept(fast) ⊆ kept(greedy)
+        assert fast_kept <= greedy_kept
+
+    def test_valid_mask_and_ids(self):
+        from e_osvos_tpu.ops.nms import fast_nms
+
+        boxes = jnp.array([[0, 0, 10, 10], [0, 0, 10, 10]], jnp.float32)
+        scores = jnp.array([0.9, 0.8])
+        # different ids never cross-suppress
+        idx, ok = fast_nms(boxes, scores, 0.5, 2, ids=jnp.array([0, 1]))
+        assert int(np.asarray(ok).sum()) == 2
+        # invalid slots never appear
+        idx, ok = fast_nms(boxes, scores, 0.5, 2,
+                           valid=jnp.array([False, True]))
+        kept = [int(i) for i, o in zip(np.asarray(idx), np.asarray(ok)) if o]
+        assert kept == [1]
