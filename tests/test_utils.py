@@ -122,3 +122,27 @@ class TestSplitGenerator:
         write_split_files(str(tmp_path), train, val)
         lines = (tmp_path / "train_dev_random_123_val.txt").read_text().split()
         assert lines == val
+
+
+class TestSubmissionPackaging:
+    def test_ytvos_zip_layout(self, tmp_path):
+        import zipfile
+
+        from e_osvos_tpu.utils.submission import package_ytvos_submission
+
+        preds = tmp_path / "preds"
+        for seq, n in [("vid_a", 2), ("vid_b", 1)]:
+            (preds / seq).mkdir(parents=True)
+            for t in range(n):
+                save_indexed_png(str(preds / seq / f"{t:05d}.png"),
+                                 np.zeros((4, 5), np.uint8))
+        out = tmp_path / "sub.zip"
+        n = package_ytvos_submission(str(preds), str(out),
+                                     frame_names={"vid_a": ["00000", "00005"]})
+        assert n == 3
+        names = set(zipfile.ZipFile(out).namelist())
+        assert names == {
+            "Annotations/vid_a/00000.png",
+            "Annotations/vid_a/00005.png",
+            "Annotations/vid_b/00000.png",
+        }
