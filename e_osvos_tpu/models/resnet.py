@@ -55,16 +55,21 @@ class FrozenScaleBias(nn.Module):
 
 
 def make_norm(norm: str, dtype: Any) -> Norm:
+    # group variants use the lane-friendly TPU kernel (ops/group_norm.py):
+    # parameter-compatible with nn.GroupNorm, ~3x less layout churn at
+    # backbone activation shapes
+    from e_osvos_tpu.ops.group_norm import FusedGroupNorm
+
     if norm == "group":
         # 32 groups matches the reference's GroupNorm swap for the backbone
         # (mask_rcnn.py:523-534 uses 32; deeplab decoder uses 16 — the
         # decoder passes its own factory).
-        return partial(nn.GroupNorm, num_groups=32, dtype=dtype)
+        return partial(FusedGroupNorm, num_groups=32, dtype=dtype)
     if norm == "group16":
-        return partial(nn.GroupNorm, num_groups=16, dtype=dtype)
+        return partial(FusedGroupNorm, num_groups=16, dtype=dtype)
     if norm == "group4":
         # for the miniature test arch whose widths aren't divisible by 32
-        return partial(nn.GroupNorm, num_groups=4, dtype=dtype)
+        return partial(FusedGroupNorm, num_groups=4, dtype=dtype)
     if norm == "frozen_bn":
         return partial(FrozenScaleBias, dtype=dtype)
     if norm == "batch":

@@ -110,15 +110,15 @@ def fpn_level_assignment(
     return jnp.clip(k, 0, num_levels - 1).astype(jnp.int32)
 
 
-def multiscale_roi_align(
+def _multiscale_roi_align_dense(
     feats: Sequence[Array],
     boxes: Array,
     output_size: Tuple[int, int],
     spatial_scales: Sequence[float],
     sampling_ratio: int = 2,
 ) -> Array:
-    """FPN ROI-align: feats = [P2..P5] ([H_l,W_l,C] each), boxes [N,4] in
-    image coords → [N,oh,ow,C]. Pool from all levels, select per-roi."""
+    """Reference formulation: pool from EVERY level, one-hot select per-roi
+    (4× the gather work; kept as the oracle for tests)."""
     num_levels = len(feats)
     levels = fpn_level_assignment(boxes, num_levels)
     pooled = jnp.stack(
@@ -131,3 +131,81 @@ def multiscale_roi_align(
     )  # [L,N,oh,ow,C]
     onehot = jax.nn.one_hot(levels, num_levels, dtype=pooled.dtype)  # [N,L]
     return jnp.einsum("lnhwc,nl->nhwc", pooled, onehot)
+
+
+def multiscale_roi_align(
+    feats: Sequence[Array],
+    boxes: Array,
+    output_size: Tuple[int, int],
+    spatial_scales: Sequence[float],
+    sampling_ratio: int = 2,
+    aligned: bool = True,
+) -> Array:
+    """FPN ROI-align: feats = [P2..P5] ([H_l,W_l,C] each), boxes [N,4] in
+    image coords → [N,oh,ow,C].
+
+    Single-gather formulation: the pyramid is flattened to one
+    ``[ΣH_l·W_l, C]`` buffer; each roi's samples index into its assigned
+    level via a per-roi offset, so the gather volume is 1× (the dense
+    compute-all-levels form costs 4× and was 62% of the per-frame time at
+    480p — scripts/bench_detection.py)."""
+    import numpy as np
+
+    num_levels = len(feats)
+    oh, ow = output_size
+    s = sampling_ratio
+    c = feats[0].shape[-1]
+    n = boxes.shape[0]
+    hs = np.asarray([f.shape[0] for f in feats])
+    ws = np.asarray([f.shape[1] for f in feats])
+    offsets = np.concatenate([[0], np.cumsum(hs * ws)[:-1]])
+    flat = jnp.concatenate([f.reshape(-1, c) for f in feats], axis=0)
+    m_tot = flat.shape[0]
+
+    levels = fpn_level_assignment(boxes, num_levels)  # [N]
+    h_l = jnp.asarray(hs, jnp.int32)[levels]  # [N]
+    w_l = jnp.asarray(ws, jnp.int32)[levels]
+    off = jnp.asarray(offsets, jnp.int32)[levels]
+    scale = jnp.asarray(spatial_scales, jnp.float32)[levels]  # [N]
+
+    offset = 0.5 if aligned else 0.0
+    b = boxes * scale[:, None]
+    x1 = b[:, 0] - offset
+    y1 = b[:, 1] - offset
+    bw = jnp.maximum(b[:, 2] - offset - x1, 1e-6)
+    bh = jnp.maximum(b[:, 3] - offset - y1, 1e-6)
+    cell_w = bw / ow
+    cell_h = bh / oh
+
+    iy = (jnp.arange(s, dtype=jnp.float32) + 0.5) / s
+    gy = jnp.arange(oh, dtype=jnp.float32)
+    gx = jnp.arange(ow, dtype=jnp.float32)
+    y = y1[:, None, None] + (gy[None, :, None] + iy[None, None, :]) * cell_h[:, None, None]  # [N,oh,s]
+    x = x1[:, None, None] + (gx[None, :, None] + iy[None, None, :]) * cell_w[:, None, None]  # [N,ow,s]
+    yy = jnp.broadcast_to(y[:, :, None, :, None], (n, oh, ow, s, s))
+    xx = jnp.broadcast_to(x[:, None, :, None, :], (n, oh, ow, s, s))
+
+    y0 = jnp.floor(yy)
+    x0 = jnp.floor(xx)
+    wy = (yy - y0)[..., None]
+    wx = (xx - x0)[..., None]
+    y0i = y0.astype(jnp.int32)
+    x0i = x0.astype(jnp.int32)
+
+    hb = h_l[:, None, None, None, None]
+    wb = w_l[:, None, None, None, None]
+    ob = off[:, None, None, None, None]
+
+    def g(yi, xi):
+        ok = (yi >= 0) & (yi < hb) & (xi >= 0) & (xi < wb)
+        idx = ob + jnp.clip(yi, 0, hb - 1) * wb + jnp.clip(xi, 0, wb - 1)
+        v = jnp.take(flat, jnp.clip(idx, 0, m_tot - 1), axis=0)
+        return jnp.where(ok[..., None], v, 0.0)
+
+    vals = (
+        g(y0i, x0i) * (1 - wy) * (1 - wx)
+        + g(y0i, x0i + 1) * (1 - wy) * wx
+        + g(y0i + 1, x0i) * wy * (1 - wx)
+        + g(y0i + 1, x0i + 1) * wy * wx
+    )  # [N,oh,ow,s,s,C]
+    return jnp.mean(vals, axis=(3, 4))

@@ -230,3 +230,50 @@ class TestFastNMS:
                            valid=jnp.array([False, True]))
         kept = [int(i) for i, o in zip(np.asarray(idx), np.asarray(ok)) if o]
         assert kept == [1]
+
+
+class TestFlatMultiscaleRoiAlign:
+    """Single-gather multiscale == the dense compute-all-levels oracle."""
+
+    def test_matches_dense(self):
+        from e_osvos_tpu.ops.roi_align import _multiscale_roi_align_dense
+
+        key = jax.random.PRNGKey(0)
+        scales = [1 / 4, 1 / 8, 1 / 16, 1 / 32]
+        feats = [
+            jax.random.normal(jax.random.fold_in(key, i),
+                              (64 // (2 ** i), 96 // (2 ** i), 8))
+            for i in range(4)
+        ]
+        boxes = jnp.array(
+            [
+                [3.0, 5.0, 60.0, 50.0],
+                [0.0, 0.0, 250.0, 250.0],
+                [10.0, 10.0, 330.0, 200.0],
+                [-5.0, -5.0, 40.0, 30.0],   # partially out of range
+                [0.0, 0.0, 0.0, 0.0],       # degenerate
+            ],
+            jnp.float32,
+        )
+        got = multiscale_roi_align(feats, boxes, (7, 7), scales)
+        want = _multiscale_roi_align_dense(feats, boxes, (7, 7), scales)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   atol=1e-4, rtol=1e-4)
+
+    def test_grad_flows(self):
+        from e_osvos_tpu.ops.roi_align import _multiscale_roi_align_dense
+
+        scales = [1 / 2, 1 / 4]
+        feats = [jnp.ones((16, 16, 2)), jnp.ones((8, 8, 2))]
+        boxes = jnp.array([[1.0, 1.0, 12.0, 12.0]], jnp.float32)
+
+        def f(impl, *fs):
+            return jnp.sum(jnp.sin(impl(list(fs), boxes, (3, 3), scales)))
+
+        g1 = jax.grad(lambda a, b: f(multiscale_roi_align, a, b),
+                      argnums=(0, 1))(*feats)
+        g2 = jax.grad(lambda a, b: f(_multiscale_roi_align_dense, a, b),
+                      argnums=(0, 1))(*feats)
+        for a, b in zip(g1, g2):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       atol=1e-4, rtol=1e-4)
