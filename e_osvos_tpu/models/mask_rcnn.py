@@ -56,7 +56,11 @@ from e_osvos_tpu.ops.boxes import (
     masks_to_boxes,
 )
 from e_osvos_tpu.ops.nms import batched_nms
-from e_osvos_tpu.ops.roi_align import multiscale_roi_align, roi_align
+from e_osvos_tpu.ops.roi_align import (
+    multiscale_roi_align,
+    roi_align,
+    stack_roi_align_1ch,
+)
 
 Array = jax.Array
 
@@ -342,15 +346,13 @@ class MaskRCNN(nn.Module):
                 ROI_SCALES,
             )
             m_logits = self.mask_head(m_feats)[..., 1]  # class-1 channel
-            # GT mask crops: single-level roi_align on each matched object
-            # mask at full resolution (torchvision project_masks_on_boxes)
-            sel_masks = masks[m_gt].astype(jnp.float32)  # [P,H,W]
-            crops = jax.vmap(
-                lambda mm, bb: roi_align(
-                    mm[..., None], bb[None],
-                    (cfg.mask_out_size, cfg.mask_out_size),
-                )[0, ..., 0]
-            )(sel_masks, m_boxes)
+            # GT mask crops (torchvision project_masks_on_boxes): gather
+            # straight from the [O,H,W] mask stack — no per-roi full-res
+            # materialization, one 4-lane row-gather per bilinear sample
+            crops = stack_roi_align_1ch(
+                masks.astype(jnp.float32), m_boxes, m_gt,
+                (cfg.mask_out_size, cfg.mask_out_size),
+            )
             ignore = crops > 200.0  # 255-ignore propagated through pooling
             tgt_bin = (crops >= 0.5) & ~ignore
             valid_px = (~ignore) & m_ok[:, None, None]

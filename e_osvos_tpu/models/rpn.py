@@ -193,22 +193,26 @@ def assign_rpn_targets(
     labels = jnp.where(is_best & any_gt, 1, labels)
     matched_boxes = gt_boxes[best_gt]
 
-    # balanced sampling: pick ≤ pos_count positives and fill with negatives
+    # balanced sampling: pick ≤ pos_count positives and fill with negatives.
+    # top_k of the randomized scores instead of a full argsort — the anchor
+    # set is ~107k at 480p and two 107k argsorts per image dominated the
+    # target-assignment cost; k is the (small, static) sample budget.
     num_pos_max = int(cfg.batch_size_per_image * cfg.positive_fraction)
     kp, kn = jax.random.split(key)
 
-    def sample(mask, count, k):
-        """Random fixed-count subset of ``mask`` as a boolean mask."""
+    def sample(mask, count, max_count, k):
+        """Random subset of ``mask`` of size min(count, |mask|) as a boolean
+        mask; ``max_count`` is the static bound on ``count``."""
         r = jax.random.uniform(k, (n,))
-        score = jnp.where(mask, r, 2.0)  # eligible first
-        order = jnp.argsort(score)
-        rank = jnp.argsort(order)
-        take = jnp.minimum(count, jnp.sum(mask))
-        return mask & (rank < take)
+        score = jnp.where(mask, r, -1.0)  # eligible first
+        kk = min(max_count, n)
+        vals, idx = jax.lax.top_k(score, kk)
+        chosen = (vals >= 0.0) & (jnp.arange(kk) < count)
+        return jnp.zeros((n,), bool).at[idx].set(chosen)
 
-    pos_mask = sample(labels == 1, num_pos_max, kp)
+    pos_mask = sample(labels == 1, num_pos_max, num_pos_max, kp)
     num_neg = cfg.batch_size_per_image - jnp.sum(pos_mask)
-    neg_mask = sample(labels == 0, num_neg, kn)
+    neg_mask = sample(labels == 0, num_neg, cfg.batch_size_per_image, kn)
     return RPNTargets(
         labels=labels,
         matched_boxes=matched_boxes,

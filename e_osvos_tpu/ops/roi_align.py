@@ -94,6 +94,79 @@ def roi_align(
     return jnp.mean(vals, axis=(3, 4))
 
 
+def stack_roi_align_1ch(
+    maps: Array,
+    boxes: Array,
+    map_idx: Array,
+    output_size: Tuple[int, int],
+    sampling_ratio: int = 2,
+    aligned: bool = True,
+) -> Array:
+    """Single-channel ROI-align from a stack of maps, one row-gather total.
+
+    ``maps`` [O,H,W]; ``boxes`` [P,4] (image coords, spatial scale 1);
+    ``map_idx`` [P] selects each roi's map → [P,oh,ow]. Used for GT-mask
+    crops (torchvision project_masks_on_boxes semantics): gathers directly
+    from the map stack — no [P,H,W] materialization, and the four bilinear
+    corners arrive as the 4 lanes of one gathered row instead of 4 scalar
+    gathers (TPU gathers are slice-count-bound).
+    """
+    o, h, w = maps.shape
+    n1 = h * w
+    oh, ow = output_size
+    s = sampling_ratio
+    p = boxes.shape[0]
+
+    bpad = w + 1
+    m = o * n1 + w + 1
+    flat = maps.reshape(-1, 1).astype(jnp.float32)
+    zp = jnp.zeros((bpad, 1), jnp.float32)
+    ext = jnp.concatenate([zp, flat, zp], axis=0)
+    stack4 = jnp.concatenate(
+        [ext[0:m], ext[1:m + 1], ext[w:m + w], ext[w + 1:m + w + 1]], axis=-1
+    )  # [m, 4]; row i ↔ raw linear index i − bpad
+
+    offset = 0.5 if aligned else 0.0
+    x1 = boxes[:, 0] - offset
+    y1 = boxes[:, 1] - offset
+    bw = jnp.maximum(boxes[:, 2] - offset - x1, 1e-6)
+    bh = jnp.maximum(boxes[:, 3] - offset - y1, 1e-6)
+    cell_w = bw / ow
+    cell_h = bh / oh
+
+    iy = (jnp.arange(s, dtype=jnp.float32) + 0.5) / s
+    gy = jnp.arange(oh, dtype=jnp.float32)
+    gx = jnp.arange(ow, dtype=jnp.float32)
+    y = y1[:, None, None] + (gy[None, :, None] + iy[None, None, :]) * cell_h[:, None, None]
+    x = x1[:, None, None] + (gx[None, :, None] + iy[None, None, :]) * cell_w[:, None, None]
+    yy = jnp.broadcast_to(y[:, :, None, :, None], (p, oh, ow, s, s))
+    xx = jnp.broadcast_to(x[:, None, :, None, :], (p, oh, ow, s, s))
+
+    y0 = jnp.floor(yy)
+    x0 = jnp.floor(xx)
+    wy = yy - y0
+    wx = xx - x0
+    y0i = y0.astype(jnp.int32)
+    x0i = x0.astype(jnp.int32)
+
+    base = (map_idx.astype(jnp.int32) * n1)[:, None, None, None, None]
+    raw = base + y0i * w + x0i
+    idx = jnp.clip(raw, -bpad, o * n1 - 1) + bpad
+    v = jnp.take(stack4, idx, axis=0)  # [P,oh,ow,s,s,4]
+
+    acc = jnp.zeros((p, oh, ow, s, s), jnp.float32)
+    k = 0
+    for dy in (0, 1):
+        for dx in (0, 1):
+            yi = y0i + dy
+            xi = x0i + dx
+            ok = (yi >= 0) & (yi < h) & (xi >= 0) & (xi < w)
+            wgt = (wy if dy else 1.0 - wy) * (wx if dx else 1.0 - wx)
+            acc = acc + v[..., k] * jnp.where(ok, wgt, 0.0)
+            k += 1
+    return jnp.mean(acc, axis=(3, 4))
+
+
 def fpn_level_assignment(
     boxes: Array,
     num_levels: int,

@@ -296,3 +296,42 @@ class TestYouTubeVOSIndex:
         assert len(seq.object_groups) == 2
         assert seq.object_groups[0].object_ids == (1,)
         assert seq.object_groups[1].object_ids == (2,)
+
+
+class TestPackedWarp:
+    """affine_warp_packed == the generic warp on uint8-valued frames."""
+
+    def test_matches_generic_warp(self):
+        rs = np.random.RandomState(3)
+        img = jnp.asarray(rs.randint(0, 256, (33, 41, 3)), jnp.float32)
+        label = jnp.asarray(rs.randint(0, 3, (33, 41)), jnp.int32)
+        theta = 0.3
+        s = 1.2
+        matrix = jnp.array(
+            [[np.cos(theta) / s, np.sin(theta) / s, 1.5],
+             [-np.sin(theta) / s, np.cos(theta) / s, -2.0]], jnp.float32
+        )
+        got_img, got_lab, inside = transforms.affine_warp_packed(
+            img, label, matrix, compute_dtype=jnp.float32
+        )
+        want_img, want_lab = transforms.affine_warp(
+            img, label, matrix, img_cval=0.0, label_cval=255.0
+        )
+        np.testing.assert_allclose(
+            np.asarray(got_img), np.asarray(want_img), atol=1e-2
+        )
+        np.testing.assert_array_equal(np.asarray(got_lab), np.asarray(want_lab))
+        # inside == some bilinear support
+        assert np.asarray(inside).any()
+
+    def test_identity_roundtrip(self):
+        rs = np.random.RandomState(4)
+        img = jnp.asarray(rs.randint(0, 256, (8, 8, 3)), jnp.float32)
+        label = jnp.asarray(rs.randint(0, 2, (8, 8)), jnp.int32)
+        eye = jnp.array([[1.0, 0.0, 0.0], [0.0, 1.0, 0.0]])
+        out_img, out_lab, inside = transforms.affine_warp_packed(
+            img, label, eye, compute_dtype=jnp.float32
+        )
+        np.testing.assert_allclose(np.asarray(out_img), np.asarray(img), atol=1e-3)
+        np.testing.assert_array_equal(np.asarray(out_lab), np.asarray(label))
+        assert np.asarray(inside).all()

@@ -277,3 +277,50 @@ class TestFlatMultiscaleRoiAlign:
         for a, b in zip(g1, g2):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                        atol=1e-4, rtol=1e-4)
+
+
+class TestStackRoiAlign1ch:
+    """stack_roi_align_1ch == per-roi single-level roi_align oracle."""
+
+    def test_matches_vmap_oracle(self):
+        from e_osvos_tpu.ops.roi_align import stack_roi_align_1ch
+
+        rs = np.random.RandomState(0)
+        maps = jnp.asarray(rs.rand(3, 24, 30).round(), jnp.float32)
+        boxes = jnp.array(
+            [
+                [2.0, 3.0, 20.0, 18.0],
+                [-1.0, -1.0, 8.0, 9.0],     # clipped at the origin
+                [10.0, 5.0, 40.0, 30.0],    # spills past the border
+                [0.0, 0.0, 0.0, 0.0],       # degenerate
+            ],
+            jnp.float32,
+        )
+        obj = jnp.array([0, 2, 1, 0], jnp.int32)
+        got = stack_roi_align_1ch(maps, boxes, obj, (7, 7))
+        want = jax.vmap(
+            lambda i, bb: roi_align(
+                maps[i][..., None], bb[None], (7, 7)
+            )[0, ..., 0]
+        )(obj, boxes)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   atol=1e-5, rtol=1e-5)
+
+    def test_grad_flows_to_maps(self):
+        from e_osvos_tpu.ops.roi_align import stack_roi_align_1ch
+
+        maps = jnp.ones((2, 12, 12))
+        boxes = jnp.array([[1.0, 1.0, 9.0, 9.0]], jnp.float32)
+        obj = jnp.array([1], jnp.int32)
+
+        def f(impl, mm):
+            return jnp.sum(jnp.sin(impl(mm)))
+
+        g1 = jax.grad(lambda mm: f(
+            lambda m: stack_roi_align_1ch(m, boxes, obj, (3, 3)), mm))(maps)
+        g2 = jax.grad(lambda mm: f(
+            lambda m: jax.vmap(lambda i, bb: roi_align(
+                m[i][..., None], bb[None], (3, 3))[0, ..., 0])(obj, boxes),
+            mm))(maps)
+        np.testing.assert_allclose(np.asarray(g1), np.asarray(g2),
+                                   atol=1e-5, rtol=1e-5)
