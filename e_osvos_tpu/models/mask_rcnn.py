@@ -59,7 +59,7 @@ from e_osvos_tpu.ops.nms import batched_nms
 from e_osvos_tpu.ops.roi_align import (
     multiscale_roi_align,
     roi_align,
-    stack_roi_align_1ch,
+    stack_roi_align_u8,
 )
 
 Array = jax.Array
@@ -348,10 +348,10 @@ class MaskRCNN(nn.Module):
             m_logits = self.mask_head(m_feats)[..., 1]  # class-1 channel
             # GT mask crops (torchvision project_masks_on_boxes): gather
             # straight from the [O,H,W] mask stack — no per-roi full-res
-            # materialization, one 4-lane row-gather per bilinear sample
-            crops = stack_roi_align_1ch(
-                masks.astype(jnp.float32), m_boxes, m_gt,
-                (cfg.mask_out_size, cfg.mask_out_size),
+            # materialization, all four bilinear corners byte-packed into one
+            # u32 gather per sample (GT targets need no gradient)
+            crops = stack_roi_align_u8(
+                masks, m_boxes, m_gt, (cfg.mask_out_size, cfg.mask_out_size)
             )
             ignore = crops > 200.0  # 255-ignore propagated through pooling
             tgt_bin = (crops >= 0.5) & ~ignore

@@ -159,10 +159,13 @@ def lovasz_hinge_flat(
     # invalid pixels: push to the end of the descending sort, relu(-inf) = 0
     errors = jnp.where(v > 0, errors, _NEG_LARGE)
 
-    order = jnp.argsort(-errors)  # descending
-    errors_sorted = errors[order]
-    gt_sorted = (labels * v)[order]
-    valid_sorted = v[order]
+    # multi-operand sort carries the payloads through the sorting network —
+    # argsort + take_along_axis would add three lane-axis gathers, the slow
+    # access pattern on TPU
+    neg_sorted, gt_sorted, valid_sorted = jax.lax.sort(
+        (-errors, labels * v, v), num_keys=1
+    )
+    errors_sorted = -neg_sorted  # descending
 
     grad = _lovasz_grad_from_sorted(gt_sorted, valid_sorted)
     return jnp.sum(jax.nn.relu(errors_sorted) * grad * valid_sorted)
@@ -205,10 +208,10 @@ def lovasz_softmax_flat(
         fg = (labels == c).astype(probs.dtype) * v
         errors = jnp.abs(fg - probs[:, c])
         errors = jnp.where(v > 0, errors, _NEG_LARGE)
-        order = jnp.argsort(-errors)
-        errors_sorted = errors[order]
-        fg_sorted = fg[order]
-        valid_sorted = v[order]
+        neg_sorted, fg_sorted, valid_sorted = jax.lax.sort(
+            (-errors, fg, v), num_keys=1
+        )
+        errors_sorted = -neg_sorted
         grad = _lovasz_grad_from_sorted(fg_sorted, valid_sorted)
         loss_c = jnp.sum(jax.nn.relu(errors_sorted) * grad * valid_sorted)
         present = jnp.sum(fg) > 0

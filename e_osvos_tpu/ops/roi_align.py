@@ -167,6 +167,82 @@ def stack_roi_align_1ch(
     return jnp.mean(acc, axis=(3, 4))
 
 
+def stack_roi_align_u8(
+    maps: Array,
+    boxes: Array,
+    map_idx: Array,
+    output_size: Tuple[int, int],
+    sampling_ratio: int = 2,
+    aligned: bool = True,
+) -> Array:
+    """Byte-packed variant of :func:`stack_roi_align_1ch` for integer-valued
+    maps in [0, 255] (GT masks / 255-ignore): the four bilinear corner
+    shifts are packed into ONE uint32 per pixel with pure elementwise shifts
+    (the [m, 4]-lane stack of the generic version costs a strided
+    single-lane interleave on TPU), so each sample is one scalar u32 gather.
+    NOT differentiable w.r.t. ``maps`` — GT targets don't need it.
+    """
+    o, h, w = maps.shape
+    n1 = h * w
+    L = o * n1
+    oh, ow = output_size
+    s = sampling_ratio
+    p = boxes.shape[0]
+
+    bpad = w + 1
+    m = L + w + 1
+    mu = jnp.clip(maps.reshape(-1), 0, 255).astype(jnp.uint32)
+    zp = jnp.zeros((bpad,), jnp.uint32)
+    ext = jnp.concatenate([zp, mu, zp])
+    packed = (
+        ext[0:m]
+        | (ext[1:m + 1] << 8)
+        | (ext[w:m + w] << 16)
+        | (ext[w + 1:m + w + 1] << 24)
+    )  # [m]; row i ↔ raw linear index i − bpad; bytes = corners
+
+    offset = 0.5 if aligned else 0.0
+    x1 = boxes[:, 0] - offset
+    y1 = boxes[:, 1] - offset
+    bw = jnp.maximum(boxes[:, 2] - offset - x1, 1e-6)
+    bh = jnp.maximum(boxes[:, 3] - offset - y1, 1e-6)
+    cell_w = bw / ow
+    cell_h = bh / oh
+
+    iy = (jnp.arange(s, dtype=jnp.float32) + 0.5) / s
+    gy = jnp.arange(oh, dtype=jnp.float32)
+    gx = jnp.arange(ow, dtype=jnp.float32)
+    y = y1[:, None, None] + (gy[None, :, None] + iy[None, None, :]) * cell_h[:, None, None]
+    x = x1[:, None, None] + (gx[None, :, None] + iy[None, None, :]) * cell_w[:, None, None]
+    yy = jnp.broadcast_to(y[:, :, None, :, None], (p, oh, ow, s, s))
+    xx = jnp.broadcast_to(x[:, None, :, None, :], (p, oh, ow, s, s))
+
+    y0 = jnp.floor(yy)
+    x0 = jnp.floor(xx)
+    wy = yy - y0
+    wx = xx - x0
+    y0i = y0.astype(jnp.int32)
+    x0i = x0.astype(jnp.int32)
+
+    base = (map_idx.astype(jnp.int32) * n1)[:, None, None, None, None]
+    raw = base + y0i * w + x0i
+    idx = jnp.clip(raw, -bpad, L - 1) + bpad
+    v = jnp.take(packed, idx)  # [P,oh,ow,s,s] u32 — all four corners
+
+    acc = jnp.zeros((p, oh, ow, s, s), jnp.float32)
+    k = 0
+    for dy in (0, 1):
+        for dx in (0, 1):
+            yi = y0i + dy
+            xi = x0i + dx
+            ok = (yi >= 0) & (yi < h) & (xi >= 0) & (xi < w)
+            wgt = (wy if dy else 1.0 - wy) * (wx if dx else 1.0 - wx)
+            val = ((v >> (8 * k)) & 0xFF).astype(jnp.float32)
+            acc = acc + val * jnp.where(ok, wgt, 0.0)
+            k += 1
+    return jnp.mean(acc, axis=(3, 4))
+
+
 def fpn_level_assignment(
     boxes: Array,
     num_levels: int,
@@ -260,8 +336,13 @@ def multiscale_roi_align(
 
     y0 = jnp.floor(yy)
     x0 = jnp.floor(xx)
-    wy = (yy - y0)[..., None]
-    wx = (xx - x0)[..., None]
+    # blend in the FEATURE dtype: f32 weights would promote the big
+    # [N,oh,ow,s,s,C] intermediates to f32, doubling HBM traffic of the
+    # pooling (features are bf16 on TPU)
+    fdt = flat.dtype
+    wy = (yy - y0)[..., None].astype(fdt)
+    wx = (xx - x0)[..., None].astype(fdt)
+    one = jnp.asarray(1, fdt)
     y0i = y0.astype(jnp.int32)
     x0i = x0.astype(jnp.int32)
 
@@ -273,12 +354,12 @@ def multiscale_roi_align(
         ok = (yi >= 0) & (yi < hb) & (xi >= 0) & (xi < wb)
         idx = ob + jnp.clip(yi, 0, hb - 1) * wb + jnp.clip(xi, 0, wb - 1)
         v = jnp.take(flat, jnp.clip(idx, 0, m_tot - 1), axis=0)
-        return jnp.where(ok[..., None], v, 0.0)
+        return jnp.where(ok[..., None], v, jnp.asarray(0, fdt))
 
     vals = (
-        g(y0i, x0i) * (1 - wy) * (1 - wx)
-        + g(y0i, x0i + 1) * (1 - wy) * wx
-        + g(y0i + 1, x0i) * wy * (1 - wx)
+        g(y0i, x0i) * (one - wy) * (one - wx)
+        + g(y0i, x0i + 1) * (one - wy) * wx
+        + g(y0i + 1, x0i) * wy * (one - wx)
         + g(y0i + 1, x0i + 1) * wy * wx
     )  # [N,oh,ow,s,s,C]
     return jnp.mean(vals, axis=(3, 4))

@@ -324,3 +324,23 @@ class TestStackRoiAlign1ch:
             mm))(maps)
         np.testing.assert_allclose(np.asarray(g1), np.asarray(g2),
                                    atol=1e-5, rtol=1e-5)
+
+
+def test_stack_roi_align_u8_matches_1ch():
+    """Byte-packed GT-crop align == the differentiable lane version."""
+    from e_osvos_tpu.ops.roi_align import stack_roi_align_1ch, stack_roi_align_u8
+
+    rs = np.random.RandomState(1)
+    maps = jnp.asarray(
+        np.where(rs.rand(2, 20, 26) > 0.5, 255, rs.randint(0, 2, (2, 20, 26))),
+        jnp.float32,
+    )
+    boxes = jnp.array(
+        [[2.0, 2.0, 18.0, 15.0], [-2.0, -2.0, 30.0, 24.0],
+         [5.0, 5.0, 5.0, 5.0]], jnp.float32
+    )
+    obj = jnp.array([0, 1, 0], jnp.int32)
+    got = stack_roi_align_u8(maps, boxes, obj, (5, 5))
+    want = stack_roi_align_1ch(maps, boxes, obj, (5, 5))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=1e-4, rtol=1e-5)
