@@ -241,7 +241,9 @@ class OneShotEvaluator:
                 reset=False,
             )
 
-        self._jit_ona_ft = jax.jit(_ona_ft)
+        # donate the carried params (the ~160 MB tree is dead after the
+        # refit — aliasing it into the output avoids an HBM copy per window)
+        self._jit_ona_ft = jax.jit(_ona_ft, donate_argnums=(6,))
         # object-batched OnA: the per-window (segment → pseudo-GT → re-fit)
         # chain vmapped over the object axis; windows remain a host loop so
         # ragged final windows only add one extra compile
@@ -252,7 +254,8 @@ class OneShotEvaluator:
                            prop_labels, params)[0]
 
         self._jit_ona_ft_objs = jax.jit(
-            jax.vmap(_ona_ft_obj, in_axes=(None, None, 0, None, 0, 0))
+            jax.vmap(_ona_ft_obj, in_axes=(None, None, 0, None, 0, 0)),
+            donate_argnums=(5,),
         )
 
     # ---- per-sequence driver (host loop over OnA windows) ----

@@ -62,7 +62,9 @@ class DetectionOneShotEvaluator:
         self.cfg = cfg
         self._jit_ft = jax.jit(self._fine_tune)
         self._jit_window = jax.jit(self._segment_window)
-        self._jit_ona_ft = jax.jit(self._ona_fine_tune)
+        # donate the carried params on OnA refits (FIRST_STEP continuation
+        # consumes them; aliasing avoids an HBM copy of the 176 MB tree)
+        self._jit_ona_ft = jax.jit(self._ona_fine_tune, donate_argnums=(6,))
 
     # -- fine-tune ----------------------------------------------------------
 

@@ -70,6 +70,13 @@ def make_norm(norm: str, dtype: Any) -> Norm:
     if norm == "group4":
         # for the miniature test arch whose widths aren't divisible by 32
         return partial(FusedGroupNorm, num_groups=4, dtype=dtype)
+    if norm.endswith("_xla") and norm[:-4] in ("group", "group16", "group4"):
+        # pure-XLA GroupNorm (no Pallas kernel): required when the model is
+        # differentiated beyond one reverse-mode level — i.e. meta-training
+        # with second_order_gradients (the Pallas custom_vjp has no JVP rule)
+        groups = {"group": 32, "group16": 16, "group4": 4}[norm[:-4]]
+        return partial(FusedGroupNorm, num_groups=groups, dtype=dtype,
+                       use_pallas=False)
     if norm == "frozen_bn":
         return partial(FrozenScaleBias, dtype=dtype)
     if norm == "batch":

@@ -104,13 +104,18 @@ class FusedGroupNorm(nn.Module):
     epsilon: float = 1e-6  # flax nn.GroupNorm default
     dtype: Optional[Any] = None
     use_relu: bool = False
+    # The Pallas path's custom_vjp supports ONE level of reverse-mode AD;
+    # second-order meta-gradients (forward-over-reverse) need the pure-XLA
+    # formulation — models meta-trained with second_order_gradients must use
+    # the 'group_xla'/'group16_xla' norm variants (models/resnet.py).
+    use_pallas: bool = True
 
     @nn.compact
     def __call__(self, x: Array) -> Array:
         c = x.shape[-1]
         scale = self.param("scale", nn.initializers.ones, (c,), jnp.float32)
         bias = self.param("bias", nn.initializers.zeros, (c,), jnp.float32)
-        if _use_pallas(x):
+        if self.use_pallas and _use_pallas(x):
             from e_osvos_tpu.ops.pallas_group_norm import pallas_group_norm
 
             y = pallas_group_norm(x, scale, bias, self.num_groups, self.epsilon)
