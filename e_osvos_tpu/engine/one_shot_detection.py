@@ -56,15 +56,31 @@ class DetectionOneShotEvaluator:
         model,
         meta_cfg: MetaOptimConfig,
         cfg: DetectionOneShotConfig,
+        batch_objects: bool = True,
     ):
         self.model = model
         self.meta_cfg = meta_cfg
         self.cfg = cfg
+        self.batch_objects = batch_objects
         self._jit_ft = jax.jit(self._fine_tune)
         self._jit_window = jax.jit(self._segment_window)
         # donate the carried params on OnA refits (FIRST_STEP continuation
         # consumes them; aliasing avoids an HBM copy of the 176 MB tree)
         self._jit_ona_ft = jax.jit(self._ona_fine_tune, donate_argnums=(6,))
+        # objects as a vmap batch axis (one compiled program fine-tunes and
+        # tracks ALL object groups; the reference loops them serially,
+        # evaluate.py:132) — per-object params, box carries, and pseudo-GT
+        self._jit_ft_objs = jax.jit(
+            jax.vmap(self._fine_tune, in_axes=(None, 0, None, 0, None))
+        )
+        self._jit_window_objs = jax.jit(
+            jax.vmap(self._segment_window, in_axes=(0, None, 0, 0, 0))
+        )
+        self._jit_ona_ft_objs = jax.jit(
+            jax.vmap(self._ona_fine_tune,
+                     in_axes=(None, 0, None, 0, None, 0, 0)),
+            donate_argnums=(6,),
+        )
 
     # -- fine-tune ----------------------------------------------------------
 
@@ -174,7 +190,8 @@ class DetectionOneShotEvaluator:
         """lax.scan over frames with previous-frame boxes as carry.
 
         frames [T,H,W,3] raw; init_boxes [K,4]. Returns (probs [T,H,W],
-        boxes [T,K,4], valid [T,K])."""
+        boxes [T,K,4], valid [T,K], final_boxes [K,4], final_valid [K]) —
+        the final carry seeds the next window without a host round-trip."""
         cfg = self.cfg
 
         def step(carry, inp):
@@ -206,10 +223,10 @@ class DetectionOneShotEvaluator:
             valid = jnp.where(keep_prev, prev_valid, new_valid)
             return (boxes, valid, k), (probs, det.boxes[0], det.valid[0])
 
-        (_, _, _), (probs, boxes, valid) = jax.lax.scan(
+        (fin_boxes, fin_valid, _), (probs, boxes, valid) = jax.lax.scan(
             step, (init_boxes, init_valid, key), frames
         )
-        return probs, boxes, valid
+        return probs, boxes, valid, fin_boxes, fin_valid
 
     # -- host driver ---------------------------------------------------------
 
@@ -230,6 +247,14 @@ class DetectionOneShotEvaluator:
         T = len(seq)
         frames = jnp.asarray(load_frames(index, seq_name))
         K = self.model.roi.detections_per_img
+
+        groups = seq.object_groups
+        same_support = len({g.support_frame for g in groups}) == 1
+        if self.batch_objects and len(groups) > 1 and same_support:
+            probs = self._eval_objects_batched(
+                index, seq, frames, meta_params, key, init_params
+            )
+            return self._score(index, seq_name, seq, T, probs)
 
         obj_probs = []
         for gi, group in enumerate(seq.object_groups):
@@ -261,16 +286,10 @@ class DetectionOneShotEvaluator:
             while start < T:
                 end = min(start + step, T)
                 k_run = jax.random.fold_in(gkey, 1000 + window_id)
-                w_probs, w_boxes, w_valid = self._jit_window(
+                w_probs, _, _, boxes_c, valid_c = self._jit_window(
                     params, frames[start:end], boxes_c, valid_c, k_run
                 )
                 probs = probs.at[start:end].set(w_probs)
-                # carry last frame's boxes into the next window
-                last_mask = (w_probs[-1] >= cfg.box_from_mask_thresh)
-                nb, nv = masks_to_boxes(last_mask.astype(jnp.float32)[None])
-                if bool(jax.device_get(jnp.any(nv))):
-                    boxes_c = jnp.tile(nb, (K, 1))[:K]
-                    valid_c = jnp.tile(nv, (K,))[:K]
 
                 if cfg.online_adapt_step > 0 and end < T:
                     kk = min(cfg.online_adapt_step, cfg.batch_size)
@@ -294,6 +313,75 @@ class DetectionOneShotEvaluator:
             obj_probs.append(probs)
 
         probs = jnp.stack(obj_probs)
+        return self._score(index, seq_name, seq, T, probs)
+
+    def _eval_objects_batched(
+        self, index, seq, frames, meta_params: MetaParams, key, init_params
+    ):
+        """All object groups fine-tuned, tracked, and OnA-refit in ONE
+        vmapped program (per-object params + box carries); requires a
+        shared support frame. Returns [O,T,H,W] probabilities."""
+        cfg = self.cfg
+        groups = seq.object_groups
+        O = len(groups)
+        T = frames.shape[0]
+        K = self.model.roi.detections_per_img
+        sf = groups[0].support_frame
+        gt = index.get_label(seq.name, sf)
+        labels = jnp.asarray(
+            np.stack([binarize_label(gt, g.object_ids) for g in groups]),
+            jnp.int32,
+        )  # [O,H,W]
+        keys = jax.vmap(lambda i: jax.random.fold_in(key, i))(jnp.arange(O))
+
+        params_o, _ = self._jit_ft_objs(
+            meta_params, keys, frames[sf], labels, init_params
+        )
+        nb, nv = masks_to_boxes((labels == 1).astype(jnp.float32))  # [O,4],[O]
+        boxes_c = jnp.tile(nb[:, None], (1, K, 1))  # [O,K,4]
+        valid_c = jnp.tile(nv[:, None], (1, K))
+
+        probs = jnp.zeros((O, T) + frames.shape[1:3], jnp.float32)
+        probs = probs.at[:, sf].set((labels == 1).astype(jnp.float32))
+
+        step = cfg.online_adapt_step if cfg.online_adapt_step > 0 else T
+        start = sf + 1
+        window_id = 0
+        while start < T:
+            end = min(start + step, T)
+            k_run = jax.vmap(
+                lambda i: jax.random.fold_in(key, 1000 + window_id * 64 + i)
+            )(jnp.arange(O))
+            w_probs, _, _, boxes_c, valid_c = self._jit_window_objs(
+                params_o, frames[start:end], boxes_c, valid_c, k_run
+            )  # [O,w,H,W]
+            probs = probs.at[:, start:end].set(w_probs)
+
+            if cfg.online_adapt_step > 0 and end < T:
+                kk = min(cfg.online_adapt_step, cfg.batch_size)
+                sel = w_probs[:, -kk:]
+                pseudo = jnp.where(
+                    sel >= cfg.online_adapt_min_prop,
+                    1,
+                    jnp.where(sel <= 1.0 - cfg.online_adapt_min_prop, 0, 255),
+                ).astype(jnp.int32)
+                has_fg = jnp.any(pseudo == 1, axis=(2, 3))
+                pseudo = jnp.where(has_fg[:, :, None, None], pseudo, 255)
+                k_w = jax.vmap(
+                    lambda i: jax.random.fold_in(key, 2000 + window_id * 64 + i)
+                )(jnp.arange(O))
+                params_o, _ = self._jit_ona_ft_objs(
+                    meta_params, k_w, frames[sf], labels,
+                    frames[start:end][-kk:], pseudo, params_o,
+                )
+            start = end
+            window_id += 1
+        return probs
+
+    def _score(self, index, seq_name, seq, T, probs):
+        from e_osvos_tpu.ops import metrics as metric_ops
+
+        cfg = self.cfg
         merged = merge_objects(probs, cfg.threshold)
 
         j_means, f_means = [], []

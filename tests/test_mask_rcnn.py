@@ -273,3 +273,55 @@ class TestDetectionOneShot:
         res = ev.eval_sequence(index, "seq00", meta_params,
                                jax.random.PRNGKey(9))
         assert res["merged"].shape == (5, SIZE, SIZE)
+
+
+class TestDetectionObjectBatched:
+    """Detection eval with objects as a vmap batch axis (per-object params,
+    box carries, and OnA pseudo-GT in one compiled program)."""
+
+    def _setup(self, ona):
+        from e_osvos_tpu.data.synthetic import SyntheticVOSIndex
+        from e_osvos_tpu.data.transforms import AugmentConfig
+        from e_osvos_tpu.engine.one_shot_detection import (
+            DetectionOneShotConfig,
+            DetectionOneShotEvaluator,
+        )
+        from e_osvos_tpu.meta_optim import MetaOptimConfig, init_meta_params
+
+        model = tiny_model()
+        variables = model.init(
+            {"params": jax.random.PRNGKey(0), "sample": jax.random.PRNGKey(1)},
+            jnp.zeros((1, SIZE, SIZE, 3), jnp.float32),
+        )
+        meta_cfg = MetaOptimConfig(init_lr=1e-3, use_log_init_lr=False)
+        meta_params = init_meta_params(meta_cfg, variables)
+        cfg = DetectionOneShotConfig(
+            num_epochs=2, batch_size=2,
+            online_adapt_step=2 if ona else 0,
+            online_adapt_epochs=1,
+            augment=AugmentConfig(scale_min=0.95, scale_max=1.05,
+                                  rot_deg=5.0, flip_prob=0.0),
+        )
+        ev = DetectionOneShotEvaluator(model, meta_cfg, cfg)
+        index = SyntheticVOSIndex(num_sequences=1, num_frames=4,
+                                  size=(SIZE, SIZE), num_objects=2, seed=4)
+        return ev, index, meta_params
+
+    def test_batched_multi_object(self):
+        ev, index, meta_params = self._setup(ona=False)
+        res = ev.eval_sequence(index, "seq00", meta_params,
+                               jax.random.PRNGKey(7))
+        assert res["probs"].shape == (2, 4, SIZE, SIZE)
+        assert res["merged"].shape == (4, SIZE, SIZE)
+        assert np.isfinite(res["probs"]).all()
+        gt0 = index.get_label("seq00", 0)
+        np.testing.assert_array_equal(res["probs"][0, 0] > 0.5, gt0 == 1)
+        np.testing.assert_array_equal(res["probs"][1, 0] > 0.5, gt0 == 2)
+
+    @pytest.mark.slow
+    def test_batched_with_ona(self):
+        ev, index, meta_params = self._setup(ona=True)
+        res = ev.eval_sequence(index, "seq00", meta_params,
+                               jax.random.PRNGKey(7))
+        assert res["probs"].shape == (2, 4, SIZE, SIZE)
+        assert np.isfinite(res["probs"]).all()
