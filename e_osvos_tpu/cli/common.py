@@ -7,7 +7,7 @@ tree (e_osvos_tpu/config.py)."""
 from __future__ import annotations
 
 import os
-from typing import Any, Dict, List, Tuple
+from typing import Any, Dict, List, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -27,12 +27,25 @@ def build_parent_model(cfg: Dict):
     dtype = {"bfloat16": jnp.bfloat16, "float32": jnp.float32}[
         pm.get("dtype", "bfloat16")
     ]
+
+    def norm(key: str, default: str) -> str:
+        """Resolve a norm name, auto-selecting the pure-XLA GroupNorm
+        variant when second-order meta-gradients are configured: the Pallas
+        custom_vjp supports one reverse-mode level only, so 'group*' would
+        fail at trace time under a second jax.grad (models/resnet.py
+        make_norm; scripts/validate_second_order.py)."""
+        name = str(pm.get(key, default))
+        so = cfg.get("meta_optim_cfg", {}).get("second_order_gradients")
+        if so and name in ("group", "group16", "group4"):
+            name = name + "_xla"
+        return name
+
     kwargs: Dict[str, Any] = {"dtype": dtype}
     if arch in ("DeepLabV3", "DeepLabV3Plus"):
         kwargs.update(
             arch=pm.get("encoder", "resnet50"),
-            backbone_norm=pm.get("backbone_norm", "group"),
-            head_norm=pm.get("decoder_norm_layer", "group16"),
+            backbone_norm=norm("backbone_norm", "group"),
+            head_norm=norm("decoder_norm_layer", "group16"),
             output_stride=int(pm.get("output_stride", 8)),
             num_classes=1,
         )
@@ -42,7 +55,7 @@ def build_parent_model(cfg: Dict):
         roi_sizes = pm.get("roi_pool_output_sizes", {})
         kwargs.update(
             arch=pm.get("encoder", "resnet50"),
-            backbone_norm=pm.get("backbone_norm", "group"),
+            backbone_norm=norm("backbone_norm", "group"),
             roi=RoIConfig(
                 box_roi_size=int(roi_sizes.get("box", 7)),
                 nms_thresh=float(pm.get("box_nms_thresh", 0.5)),
@@ -108,6 +121,74 @@ def build_indexes(cfg: Dict, role: str = "train") -> List:
         else:
             raise ValueError(f"unknown dataset {name!r}")
     return indexes
+
+
+class ParentStateSelector:
+    """Leave-one-out parent-model selection (parity: load_state_dict,
+    helper_func.py:483-496 + the parent_model.<role>.{paths,val_split_files}
+    config schema, reference cfgs/meta.yaml:85-96): multiple parent
+    checkpoints, each pre-trained with a different val split held out; for
+    an eval sequence, pick the state whose *val* split contains it — so the
+    parent never trained on the sequence being evaluated."""
+
+    def __init__(self, states, splits):
+        if len(states) != len(splits):
+            raise ValueError(
+                f"{len(states)} parent states vs {len(splits)} val splits"
+            )
+        self.states = list(states)
+        self.splits = [list(s) for s in splits]
+
+    def select(self, seq_name: str):
+        """Params for ``seq_name``; single-state selectors are unconditional."""
+        if len(self.states) == 1 and not self.splits[0]:
+            return self.states[0]
+        for state, split in zip(self.states, self.splits):
+            if seq_name in split:
+                return state
+        raise KeyError(
+            f"no parent model with {seq_name!r} in its val_split_file"
+        )
+
+
+def _load_parent_state(path: str, params_template):
+    """One parent checkpoint → flax variables. ``.pth``/``.pt`` files go
+    through the torch importer (models/torch_import.py); everything else is
+    a native msgpack checkpoint."""
+    if path.endswith((".pth", ".pt", ".model")):
+        from e_osvos_tpu.models.torch_import import (
+            load_torch_file,
+            shape_matched_load,
+        )
+
+        state, _copied = shape_matched_load(
+            params_template, load_torch_file(path)
+        )
+        return state
+    state, _ = load_checkpoint(path, params_template)
+    return state
+
+
+def build_parent_state_selector(
+    cfg: Dict, role: str, params_template
+) -> Optional[ParentStateSelector]:
+    """ParentStateSelector from ``parent_model.<role>`` (None when no paths
+    are configured — then the caller's single init is used for every
+    sequence)."""
+    pm = cfg.get("parent_model", {}).get(role, {})
+    paths = pm.get("paths") or []
+    if not paths:
+        return None
+    split_files = pm.get("val_split_files") or []
+    states = [_load_parent_state(p, params_template) for p in paths]
+    splits = []
+    for p in split_files:
+        from e_osvos_tpu.data.datasets import read_split_file
+
+        splits.append(read_split_file(p))
+    while len(splits) < len(states):
+        splits.append([])
+    return ParentStateSelector(states, splits)
 
 
 def resolve_meta_params(cfg: Dict, model, params) -> MetaParams:

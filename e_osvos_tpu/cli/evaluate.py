@@ -21,6 +21,7 @@ from e_osvos_tpu import config as cfglib
 from e_osvos_tpu.cli.common import (
     build_indexes,
     build_parent_model,
+    build_parent_state_selector,
     init_model_params,
     resolve_meta_params,
 )
@@ -73,6 +74,10 @@ def main(argv=None):
     evaluator = build_evaluator(cfg, model)
 
     indexes = build_indexes(cfg, "val")
+    # leave-one-out parent selection: when parent_model.val.paths lists
+    # multiple checkpoints, each sequence uses the parent whose val split
+    # contains it (reference helper_func.py:483-496)
+    selector = build_parent_state_selector(cfg, "val", params)
     preds_dir = cfg.get("save_preds")
     timer = Timer()
 
@@ -81,7 +86,9 @@ def main(argv=None):
         for name, seq in index.sequences.items():
             timer.start("seq")
             res = evaluator.eval_sequence(
-                index, name, meta_params, jax.random.PRNGKey(int(cfg.get("seed", 1)))
+                index, name, meta_params,
+                jax.random.PRNGKey(int(cfg.get("seed", 1))),
+                init_params=selector.select(name) if selector else None,
             )
             dt = timer.stop("seq")
             tpf = dt / max(len(seq), 1)

@@ -111,6 +111,13 @@ def parse_cli(argv: Sequence[str], config_dir: Optional[str] = None) -> Dict:
 
 def to_meta_optim_config(cfg: Dict) -> MetaOptimConfig:
     c = cfg.get("meta_optim_cfg", {})
+    subtrees = c.get("second_order_subtrees")
+    if subtrees is None:
+        # architecture default: the reference restricts create_graph to
+        # roi_heads for Mask R-CNN (mask_rcnn.py:536-544, meta_optim.py:
+        # 195-199) and uses full second-order for the DeepLab family
+        arch = cfg.get("parent_model", {}).get("architecture", "DeepLabV3Plus")
+        subtrees = ("roi_heads",) if arch == "MaskRCNN" else ()
     return MetaOptimConfig(
         lr_hierarchy_level=str(c.get("lr_hierarchy_level", "neuron")).lower(),
         init_lr=float(c.get("init_lr", 1e-3)),
@@ -118,6 +125,7 @@ def to_meta_optim_config(cfg: Dict) -> MetaOptimConfig:
         use_log_init_lr=bool(c.get("use_log_init_lr", False)),
         max_lr=float(c["max_lr"]) if c.get("max_lr") is not None else 1.0,
         second_order_gradients=bool(c.get("second_order_gradients", False)),
+        second_order_subtrees=tuple(subtrees),
     )
 
 

@@ -37,6 +37,7 @@ class SyntheticVOSIndex:
         num_objects: int = 1,
         multi_object: str = "single_id",
         seed: int = 0,
+        name_prefix: str = "seq",
     ):
         rng = np.random.RandomState(seed)
         h, w = size
@@ -45,7 +46,7 @@ class SyntheticVOSIndex:
         self._labels: Dict[str, List[Optional[np.ndarray]]] = {}
 
         for s in range(num_sequences):
-            name = f"seq{s:02d}"
+            name = f"{name_prefix}{s:02d}"
             imgs, labels = [], []
             # background: smooth random gradient texture
             bg = (

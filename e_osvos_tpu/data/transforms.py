@@ -291,7 +291,11 @@ def augment_frame(
     # warp FIRST via the packed single-gather kernel, then jitter: the
     # jitter is pointwise-linear so it commutes with the bilinear blend
     # (contrast anchored on the pre-warp mean, matching jitter-then-warp
-    # up to clipping at saturated pixels); border pixels stay at cval 0
+    # up to clipping at saturated pixels); border pixels stay at cval 0.
+    # NOTE: parity with jitter-then-warp holds for FULL-support pixels only
+    # — on the 1-px partial-support bilinear fringe the additive offset is
+    # applied at full weight instead of scaled by the blend-weight sum, and
+    # clipping happens after blending; acceptable for augmentation.
     wimg, wlabel, inside = affine_warp_packed(img, label, matrix, dtype)
     mean = jnp.mean(img.astype(dtype))
     jimg = color_jitter(k_color, wimg, cfg, mean=mean)

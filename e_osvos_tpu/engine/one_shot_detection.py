@@ -263,7 +263,7 @@ class DetectionOneShotEvaluator:
             gt = index.get_label(seq_name, sf)
             label = jnp.asarray(binarize_label(gt, group.object_ids), jnp.int32)
 
-            k_ft, k_run = jax.random.split(gkey)
+            k_ft, k_win, k_ona = jax.random.split(gkey, 3)
             params, _ = self._jit_ft(
                 meta_params, k_ft, frames[sf], label, init_params
             )
@@ -285,7 +285,7 @@ class DetectionOneShotEvaluator:
             window_id = 0
             while start < T:
                 end = min(start + step, T)
-                k_run = jax.random.fold_in(gkey, 1000 + window_id)
+                k_run = jax.random.fold_in(k_win, window_id)
                 w_probs, _, _, boxes_c, valid_c = self._jit_window(
                     params, frames[start:end], boxes_c, valid_c, k_run
                 )
@@ -303,7 +303,7 @@ class DetectionOneShotEvaluator:
                     ).astype(jnp.int32)
                     has_fg = jnp.any(pseudo == 1, axis=(1, 2))
                     pseudo = jnp.where(has_fg[:, None, None], pseudo, 255)
-                    k_w = jax.random.fold_in(gkey, 2000 + window_id)
+                    k_w = jax.random.fold_in(k_ona, window_id)
                     params, _ = self._jit_ona_ft(
                         meta_params, k_w, frames[sf], label,
                         frames[start:end][-kk:], pseudo, params,
@@ -332,7 +332,11 @@ class DetectionOneShotEvaluator:
             np.stack([binarize_label(gt, g.object_ids) for g in groups]),
             jnp.int32,
         )  # [O,H,W]
-        keys = jax.vmap(lambda i: jax.random.fold_in(key, i))(jnp.arange(O))
+        # per-purpose base keys first, then fold (window_id, object) into
+        # separate fold_in calls — a shared linear encoding (1000+w*64+i)
+        # aliases across purposes/long sequences/O>64
+        k_ft, k_win, k_ona = jax.random.split(key, 3)
+        keys = jax.vmap(lambda i: jax.random.fold_in(k_ft, i))(jnp.arange(O))
 
         params_o, _ = self._jit_ft_objs(
             meta_params, keys, frames[sf], labels, init_params
@@ -349,8 +353,9 @@ class DetectionOneShotEvaluator:
         window_id = 0
         while start < T:
             end = min(start + step, T)
+            kw_base = jax.random.fold_in(k_win, window_id)
             k_run = jax.vmap(
-                lambda i: jax.random.fold_in(key, 1000 + window_id * 64 + i)
+                lambda i: jax.random.fold_in(kw_base, i)
             )(jnp.arange(O))
             w_probs, _, _, boxes_c, valid_c = self._jit_window_objs(
                 params_o, frames[start:end], boxes_c, valid_c, k_run
@@ -367,8 +372,9 @@ class DetectionOneShotEvaluator:
                 ).astype(jnp.int32)
                 has_fg = jnp.any(pseudo == 1, axis=(2, 3))
                 pseudo = jnp.where(has_fg[:, :, None, None], pseudo, 255)
+                ko_base = jax.random.fold_in(k_ona, window_id)
                 k_w = jax.vmap(
-                    lambda i: jax.random.fold_in(key, 2000 + window_id * 64 + i)
+                    lambda i: jax.random.fold_in(ko_base, i)
                 )(jnp.arange(O))
                 params_o, _ = self._jit_ona_ft_objs(
                     meta_params, k_w, frames[sf], labels,

@@ -61,7 +61,8 @@ def group_norm(
     gs = jnp.sum(s.reshape(n, g, c // g), axis=-1)  # [N, G]
     gsq = jnp.sum(sq.reshape(n, g, c // g), axis=-1)
     mean = gs / m
-    var = gsq / m - mean * mean
+    # clamp: E[x^2]-E[x]^2 can cancel slightly negative in f32 at 480p sums
+    var = jnp.maximum(gsq / m - mean * mean, 0.0)
     rstd = jax.lax.rsqrt(var + eps)
 
     # expand group stats back to channels on the tiny tensor

@@ -142,8 +142,10 @@ def detection_task_fns(model, cfg: MetaStepConfig):
         return _detection_loss(params, k_s, imgs, labels)
 
     def query_loss_fn(params, batch):
-        imgs, labels = batch
-        key = jax.random.PRNGKey(0)  # query pass samples rois deterministically
+        # per-task key (folded from the task seed) so ROI sampling varies
+        # across tasks, matching the reference's per-task query sampling
+        # (meta_run.py:192-207); round 1 used a constant PRNGKey(0)
+        key, imgs, labels = batch
         return _detection_loss(params, key, imgs.astype(jnp.float32), labels)
 
     return train_loss_fn, query_loss_fn
@@ -168,7 +170,7 @@ def _task_fns(model_apply: Callable, cfg: MetaStepConfig):
         return loss_ops.compute_loss(cfg.loss_func, logits, gts, valid)
 
     def query_loss_fn(params, batch):
-        imgs, labels = batch
+        _key, imgs, labels = batch
         imgs = transforms.normalize(imgs, cfg.normalize_mode)
         valid = labels != 255
         gts = jnp.where(valid, labels, 0).astype(jnp.float32)
@@ -255,6 +257,7 @@ class MetaStep:
         def task_grads(meta_params: MetaParams, task):
             s_img, s_label, q_imgs, q_labels, seed = task
             key = jax.random.PRNGKey(seed)
+            q_key = jax.random.fold_in(key, 0x71)  # per-task query-pass key
             keys = jax.random.split(key, step_cfg.num_epochs)
             train_batches = (
                 keys,
@@ -267,7 +270,7 @@ class MetaStep:
                 query_loss_fn,
                 meta_params,
                 train_batches,
-                (q_imgs, q_labels),
+                (q_key, q_imgs, q_labels),
                 bptt_epochs=step_cfg.bptt_epochs,
                 remat=step_cfg.remat,
             )

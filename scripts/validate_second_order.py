@@ -120,7 +120,7 @@ def check_mask_rcnn_second_order():
     batches = (keys,
                jnp.broadcast_to(img, (steps,) + img.shape),
                jnp.broadcast_to(label, (steps,) + label.shape))
-    meta_batch = (img[None], label[None])
+    meta_batch = (jax.random.PRNGKey(2), img[None], label[None])
 
     f = jax.jit(lambda mp: meta_grads(
         cfg, train_loss_fn, query_loss_fn, mp, batches, meta_batch,

@@ -42,6 +42,62 @@ class TestBuildParentModel:
         assert ev.cfg.online_adapt_step == 5
 
 
+class TestParentStateSelector:
+    """Leave-one-out parent selection (reference helper_func.py:483-496)."""
+
+    def test_select_by_val_split(self, tmp_path):
+        from e_osvos_tpu.cli.common import (
+            ParentStateSelector,
+            build_parent_state_selector,
+        )
+        from e_osvos_tpu.utils import save_checkpoint
+
+        tmpl = {"w": jnp.zeros((2,))}
+        a = {"w": jnp.ones((2,))}
+        b = {"w": jnp.full((2,), 2.0)}
+        save_checkpoint(str(tmp_path / "a.ckpt"), a)
+        save_checkpoint(str(tmp_path / "b.ckpt"), b)
+        (tmp_path / "split_a.txt").write_text("blackswan\ncamel\n")
+        (tmp_path / "split_b.txt").write_text("dog\ndrift-chicane\n")
+
+        cfg = cfglib.load_config(overrides={
+            "parent_model.val.paths": [str(tmp_path / "a.ckpt"),
+                                       str(tmp_path / "b.ckpt")],
+            "parent_model.val.val_split_files": [str(tmp_path / "split_a.txt"),
+                                                 str(tmp_path / "split_b.txt")],
+        })
+        sel = build_parent_state_selector(cfg, "val", tmpl)
+        assert float(sel.select("camel")["w"][0]) == 1.0
+        assert float(sel.select("dog")["w"][0]) == 2.0
+        with pytest.raises(KeyError):
+            sel.select("not-a-sequence")
+        # single state without split files = unconditional
+        sel1 = ParentStateSelector([a], [[]])
+        assert sel1.select("anything") is a
+
+    def test_none_when_unconfigured(self):
+        from e_osvos_tpu.cli.common import build_parent_state_selector
+
+        cfg = cfglib.load_config()
+        assert build_parent_state_selector(cfg, "val", {}) is None
+
+    def test_torch_pth_state(self, tmp_path):
+        """.pth parent checkpoints go through the shape-matched torch
+        importer (models/torch_import.py)."""
+        torch = pytest.importorskip("torch")
+        tmpl = {"params": {"conv": {"kernel": jnp.zeros((3, 3, 2, 4))}}}
+        sd = {"conv.weight": torch.ones((4, 2, 3, 3))}
+        torch.save(sd, str(tmp_path / "p.pth"))
+        from e_osvos_tpu.cli.common import build_parent_state_selector
+
+        cfg = cfglib.load_config(overrides={
+            "parent_model.val.paths": [str(tmp_path / "p.pth")],
+        })
+        sel = build_parent_state_selector(cfg, "val", tmpl)
+        out = sel.select("any")
+        assert float(out["params"]["conv"]["kernel"][0, 0, 0, 0]) == 1.0
+
+
 @pytest.mark.slow
 class TestCliEndToEnd:
     def test_evaluate_cli_on_synthetic(self, tmp_path):

@@ -55,6 +55,47 @@ class TestTypedViews:
         assert mo.init_lr == pytest.approx(1e-3)
         assert mo.use_log_init_lr is False
 
+    def test_second_order_subtrees_arch_default(self):
+        """null second_order_subtrees resolves to the architecture default:
+        roi_heads restriction for MaskRCNN (reference mask_rcnn.py:536-544),
+        unrestricted for the DeepLab family; [] forces no restriction."""
+        cfg = cfglib.load_config()
+        assert cfglib.to_meta_optim_config(cfg).second_order_subtrees == ()
+        cfg = cfglib.load_config(
+            overrides={"parent_model.architecture": "MaskRCNN"}
+        )
+        assert cfglib.to_meta_optim_config(cfg).second_order_subtrees == (
+            "roi_heads",
+        )
+        cfg = cfglib.load_config(
+            overrides={
+                "parent_model.architecture": "MaskRCNN",
+                "meta_optim_cfg.second_order_subtrees": [],
+            }
+        )
+        assert cfglib.to_meta_optim_config(cfg).second_order_subtrees == ()
+
+    def test_second_order_selects_xla_norm_variants(self):
+        """second_order_gradients=True must auto-select the pure-XLA
+        GroupNorm (the Pallas custom_vjp supports one reverse-mode level)."""
+        from e_osvos_tpu.cli.common import build_parent_model
+
+        cfg = cfglib.load_config(
+            overrides={
+                "meta_optim_cfg.second_order_gradients": True,
+                "parent_model.backbone_norm": "group",
+            }
+        )
+        model = build_parent_model(cfg)
+        assert model.backbone_norm == "group_xla"
+        assert model.head_norm == "group16_xla"
+        # off by default: the faster Pallas hybrid stays
+        model = build_parent_model(
+            cfglib.load_config(overrides={"parent_model.backbone_norm": "group"})
+        )
+        assert model.backbone_norm == "group"
+        assert model.head_norm == "group16"
+
     def test_one_shot_config_ona(self):
         cfg = cfglib.load_config(["e-OSVOS-OnA"], {"num_epochs.eval": 50})
         os_cfg = cfglib.to_one_shot_config(cfg)
