@@ -31,7 +31,8 @@ H, W, B = 480, 864, 3
 ITERS = 5
 REPS = 3
 
-STAGES = ["box_stage", "mask_align", "mask_head", "mask_crops", "full"]
+STAGES = ["backbone", "proposals", "rpn_loss", "box_stage", "mask_align",
+          "mask_head", "mask_crops", "full"]
 
 
 def stage_fn(mdl, images, gt_masks, gt_valid, key, stage: str):
