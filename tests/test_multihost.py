@@ -1,0 +1,97 @@
+"""Two-process CPU smoke test for parallel/multihost.py (VERDICT r1 #10).
+
+Spawns two fresh interpreters that each call ``multihost.initialize`` with
+an explicit coordinator, then checks the global device view, the per-host
+task slice, that ``make_mesh`` spans both processes' devices, and that a
+``psum`` over the global mesh actually crosses the process boundary.
+Skipped where the distributed runtime can't start (sandboxed CI without
+localhost sockets).
+"""
+
+import os
+import socket
+import subprocess
+import sys
+
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+WORKER = r"""
+import os, sys
+proc_id = int(sys.argv[1]); port = sys.argv[2]; repo = sys.argv[3]
+os.environ["JAX_PLATFORMS"] = "cpu"
+os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
+sys.path.insert(0, repo)
+import jax
+jax.config.update("jax_platforms", "cpu")
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from e_osvos_tpu.parallel import multihost
+from e_osvos_tpu.parallel.mesh import TASK_AXIS, make_mesh
+
+multihost.initialize(
+    coordinator_address=f"localhost:{port}", num_processes=2,
+    process_id=proc_id,
+)
+assert multihost.is_multihost()
+assert jax.process_count() == 2
+assert jax.device_count() == 4, jax.devices()  # 2 hosts x 2 cpu devices
+assert jax.local_device_count() == 2
+
+# per-host task rows
+sl = multihost.local_task_slice(8)
+assert (sl.start, sl.stop) == (proc_id * 4, proc_id * 4 + 4), sl
+
+# mesh spans BOTH processes' devices
+mesh = make_mesh(num_tasks=4)
+assert mesh.devices.size == 4
+assert len({d.process_index for d in mesh.devices.flat}) == 2
+
+# cross-process psum: each host contributes its process_index+1 per row;
+# the reduced sum must see both hosts' contributions
+local = np.full((2, 1), float(proc_id + 1), np.float32)
+garr = jax.make_array_from_process_local_data(
+    NamedSharding(mesh, P(TASK_AXIS)), local, (4, 1)
+)
+total = jax.jit(lambda x: jnp.sum(x))(garr)
+assert float(total) == 2 * 1.0 + 2 * 2.0, float(total)
+print(f"WORKER_{proc_id}_OK", flush=True)
+"""
+
+
+@pytest.mark.slow
+def test_two_process_cpu_distributed(tmp_path):
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        port = s.getsockname()[1]
+
+    env = dict(os.environ)
+    env.pop("XLA_FLAGS", None)
+    env.pop("JAX_PLATFORMS", None)
+    procs = [
+        subprocess.Popen(
+            [sys.executable, "-c", WORKER, str(i), str(port), REPO],
+            cwd=REPO, env=env,
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+        )
+        for i in range(2)
+    ]
+    outs = []
+    try:
+        for p in procs:
+            out, _ = p.communicate(timeout=300)
+            outs.append(out)
+    except subprocess.TimeoutExpired:
+        for p in procs:
+            p.kill()
+        pytest.skip("distributed runtime did not come up (timeout)")
+    if any(p.returncode != 0 for p in procs) and any(
+        "Failed to connect" in o or "UNAVAILABLE" in o for o in outs
+    ):
+        pytest.skip(f"distributed runtime unavailable: {outs}")
+    for i, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, out
+        assert f"WORKER_{i}_OK" in out
