@@ -232,6 +232,7 @@ class MaskRCNN(nn.Module):
         prev_boxes: Optional[Array] = None,
         prev_valid: Optional[Array] = None,
         proposal_aug_mode: Optional[str] = None,
+        box_coord_perm: Optional[Array] = None,
     ):
         b, h, w = images.shape[0], images.shape[1], images.shape[2]
         pyramid = self._features(images)
@@ -250,7 +251,7 @@ class MaskRCNN(nn.Module):
             key = self.make_rng("sample")
             return self._forward_train(
                 key, (h, w), anchors, logits, deltas, proposals, roi_feats,
-                gt_masks, gt_valid,
+                gt_masks, gt_valid, box_coord_perm,
             )
         if proposal_aug_mode and prev_boxes is not None:
             key = self.make_rng("sample")
@@ -265,7 +266,7 @@ class MaskRCNN(nn.Module):
 
     def _forward_train(
         self, key, image_hw, anchors, rpn_logits, rpn_deltas, proposals,
-        roi_feats, gt_masks, gt_valid,
+        roi_feats, gt_masks, gt_valid, box_coord_perm=None,
     ):
         cfg = self.roi
         b = gt_masks.shape[0]
@@ -328,6 +329,11 @@ class MaskRCNN(nn.Module):
             # box regression on positives, class-1 deltas
             matched_boxes = gt_boxes[samp_gt]
             reg_t = encode_boxes(matched_boxes, samp_boxes)
+            if box_coord_perm is not None:
+                # per-task coordinate permutation of the regression targets
+                # (the reference's random_box_coord_perm task randomization,
+                # meta_tasksets.py:148-153)
+                reg_t = reg_t[:, box_coord_perm]
             pred_d = box_deltas[:, 1]
             diff = jnp.abs(pred_d - reg_t)
             beta = 1.0 / 9.0

@@ -70,6 +70,11 @@ class MetaStepConfig:
     augment: transforms.AugmentConfig = dataclasses.field(
         default_factory=transforms.AugmentConfig
     )
+    # detection-family task randomization: permute the box-regression target
+    # coordinates with a per-task random permutation (reference
+    # random_box_coord_perm, cfgs/meta.yaml:103 → meta_tasksets.py:148-153;
+    # its loss-side consumption is commented out upstream — here it is live)
+    random_box_coord_perm: bool = False
 
 
 def make_outer_optimizer(
@@ -122,31 +127,33 @@ def detection_task_fns(model, cfg: MetaStepConfig):
     Pass via ``make_meta_step(..., task_fns=detection_task_fns(model, cfg))``.
     """
 
-    def _detection_loss(params, key, imgs, labels):
+    def _detection_loss(params, key, imgs, labels, perm):
         imgs = transforms.normalize(imgs, cfg.normalize_mode)
         masks = jnp.where(labels == 255, 255.0, labels.astype(jnp.float32))
         gt_masks = masks[:, None]  # one object group per task
         gt_valid = jnp.any(gt_masks == 1, axis=(2, 3))
         total, _ = model.apply(
             params, imgs, gt_masks, gt_valid, train=True,
-            rngs={"sample": key},
+            box_coord_perm=perm, rngs={"sample": key},
         )
         return total
 
     def train_loss_fn(params, batch):
-        key, img, label = batch
+        key, img, label, perm = batch
         k_aug, k_s = jax.random.split(key)
         imgs, labels = transforms.augment_support_batch(
             k_aug, img, label, cfg.train_batch_size, cfg.augment
         )
-        return _detection_loss(params, k_s, imgs, labels)
+        return _detection_loss(params, k_s, imgs, labels, perm)
 
     def query_loss_fn(params, batch):
         # per-task key (folded from the task seed) so ROI sampling varies
         # across tasks, matching the reference's per-task query sampling
         # (meta_run.py:192-207); round 1 used a constant PRNGKey(0)
-        key, imgs, labels = batch
-        return _detection_loss(params, key, imgs.astype(jnp.float32), labels)
+        key, imgs, labels, perm = batch
+        return _detection_loss(
+            params, key, imgs.astype(jnp.float32), labels, perm
+        )
 
     return train_loss_fn, query_loss_fn
 
@@ -159,7 +166,7 @@ def _task_fns(model_apply: Callable, cfg: MetaStepConfig):
     frames (meta_run.py:192-207)."""
 
     def train_loss_fn(params, batch):
-        key, img, label = batch
+        key, img, label, _perm = batch
         imgs, labels = transforms.augment_support_batch(
             key, img, label, cfg.train_batch_size, cfg.augment
         )
@@ -170,7 +177,7 @@ def _task_fns(model_apply: Callable, cfg: MetaStepConfig):
         return loss_ops.compute_loss(cfg.loss_func, logits, gts, valid)
 
     def query_loss_fn(params, batch):
-        _key, imgs, labels = batch
+        _key, imgs, labels, _perm = batch
         imgs = transforms.normalize(imgs, cfg.normalize_mode)
         valid = labels != 255
         gts = jnp.where(valid, labels, 0).astype(jnp.float32)
@@ -259,10 +266,19 @@ class MetaStep:
             key = jax.random.PRNGKey(seed)
             q_key = jax.random.fold_in(key, 0x71)  # per-task query-pass key
             keys = jax.random.split(key, step_cfg.num_epochs)
+            # one random box-coordinate permutation per task, shared by every
+            # inner step and the query pass (meta_tasksets.py:148-153)
+            if step_cfg.random_box_coord_perm:
+                perm = jax.random.permutation(
+                    jax.random.fold_in(key, 0x42), 4
+                ).astype(jnp.int32)
+            else:
+                perm = jnp.arange(4, dtype=jnp.int32)
             train_batches = (
                 keys,
                 jnp.broadcast_to(s_img, (step_cfg.num_epochs,) + s_img.shape),
                 jnp.broadcast_to(s_label, (step_cfg.num_epochs,) + s_label.shape),
+                jnp.broadcast_to(perm, (step_cfg.num_epochs, 4)),
             )
             loss, grads, tr_losses = meta_grads(
                 meta_cfg,
@@ -270,7 +286,7 @@ class MetaStep:
                 query_loss_fn,
                 meta_params,
                 train_batches,
-                (q_key, q_imgs, q_labels),
+                (q_key, q_imgs, q_labels, perm),
                 bptt_epochs=step_cfg.bptt_epochs,
                 remat=step_cfg.remat,
             )

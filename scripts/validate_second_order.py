@@ -117,10 +117,12 @@ def check_mask_rcnn_second_order():
     label = jnp.zeros((H, W), jnp.int32).at[100:300, 200:500].set(1)
     steps = 3
     keys = jax.random.split(jax.random.PRNGKey(1), steps)
+    perm = jnp.arange(4, dtype=jnp.int32)
     batches = (keys,
                jnp.broadcast_to(img, (steps,) + img.shape),
-               jnp.broadcast_to(label, (steps,) + label.shape))
-    meta_batch = (jax.random.PRNGKey(2), img[None], label[None])
+               jnp.broadcast_to(label, (steps,) + label.shape),
+               jnp.broadcast_to(perm, (steps, 4)))
+    meta_batch = (jax.random.PRNGKey(2), img[None], label[None], perm)
 
     f = jax.jit(lambda mp: meta_grads(
         cfg, train_loss_fn, query_loss_fn, mp, batches, meta_batch,

@@ -329,7 +329,11 @@ class TestDetectionMetaStep:
             rpn=RPNConfig(anchor_sizes=(8, 16, 32, 64, 128),
                           pre_nms_top_n=32, post_nms_top_n=16,
                           batch_size_per_image=16),
-            roi=RoIConfig(batch_size_per_image=8, detections_per_img=1),
+            # low fg threshold so random-init proposals (not only the
+            # appended GT boxes, whose regression targets are all-zero and
+            # hence permutation-invariant) become box-head positives
+            roi=RoIConfig(batch_size_per_image=8, detections_per_img=1,
+                          fg_iou_thresh=0.05, bg_iou_thresh=0.05),
         )
         variables = model.init(
             {"params": jax.random.PRNGKey(0), "sample": jax.random.PRNGKey(1)},
@@ -341,8 +345,14 @@ class TestDetectionMetaStep:
         rs = np.random.RandomState(3)
         img = jnp.asarray(rs.rand(1, *SIZE, 3) * 255, jnp.float32)
         label = jnp.zeros((1,) + SIZE, jnp.int32).at[:, 8:20, 6:22].set(1)
+        eye = jnp.arange(4, dtype=jnp.int32)
         f = jax.jit(query_loss_fn)
-        l0 = f(variables, (jax.random.PRNGKey(5), img, label))
-        l1 = f(variables, (jax.random.PRNGKey(11), img, label))
+        l0 = f(variables, (jax.random.PRNGKey(5), img, label, eye))
+        l1 = f(variables, (jax.random.PRNGKey(11), img, label, eye))
         assert np.isfinite(float(l0)) and np.isfinite(float(l1))
         assert float(l0) != float(l1)
+        # box_coord_perm task randomization: permuting the regression-target
+        # coordinates changes the loss (reference random_box_coord_perm)
+        swapped = jnp.asarray([1, 0, 3, 2], jnp.int32)
+        l2 = f(variables, (jax.random.PRNGKey(5), img, label, swapped))
+        assert float(l2) != float(l0)
