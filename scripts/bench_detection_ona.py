@@ -1,0 +1,145 @@
+"""e-OSVOS-50-OnA timing for the DETECTION architecture (Mask R-CNN — the
+reference's default, cfgs/meta.yaml:70): 50-step one-shot fine-tune, then
+windowed propagation with online adaptation every 5 frames (10 refit steps
+on propagated pseudo-GT), at 480p over a 67-frame sequence.
+
+Reference anchor: 0.35 fps for e-OSVOS-50-OnA on V100 (BASELINE.md; the
+reference's number IS the Mask R-CNN number). Prints one JSON line and
+appends it to BENCH_DETECTION.json at the repo root when run from there.
+
+Run: nohup python scripts/bench_detection_ona.py > /tmp/bench_det_ona.log 2>&1 &
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from e_osvos_tpu.engine.one_shot_detection import (
+    DetectionOneShotConfig,
+    DetectionOneShotEvaluator,
+)
+from e_osvos_tpu.meta_optim import MetaOptimConfig, init_meta_params
+from e_osvos_tpu.models.mask_rcnn import MaskRCNN
+from e_osvos_tpu.data.synthetic import SyntheticVOSIndex
+
+H, W, T = 480, 854, 67
+BASELINE_FPS = 0.35
+
+
+def main():
+    print(f"devices: {jax.devices()}", flush=True)
+    model = MaskRCNN(arch="resnet50", backbone_norm="group",
+                     dtype=jnp.bfloat16)
+    img = jnp.zeros((1, H, W, 3), jnp.float32)
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0), "sample": jax.random.PRNGKey(1)},
+        img, jnp.zeros((1, 1, H, W)), jnp.ones((1, 1), bool), train=True,
+    )
+    meta_cfg = MetaOptimConfig(
+        lr_hierarchy_level="neuron", init_lr=1e-4, learn_model_init=True,
+        use_log_init_lr=False,
+    )
+    meta_params = init_meta_params(meta_cfg, variables)
+    cfg = DetectionOneShotConfig(
+        num_epochs=50, batch_size=3,
+        online_adapt_step=5, online_adapt_epochs=10,
+        online_adapt_min_prop=0.75,
+        proposal_aug_mode="EXTEND",
+    )
+    ev = DetectionOneShotEvaluator(model, meta_cfg, cfg)
+
+    index = SyntheticVOSIndex(num_sequences=2, num_frames=T, size=(H, W),
+                              num_objects=1, seed=0)
+    key = jax.random.PRNGKey(0)
+
+    from e_osvos_tpu.data.datasets import binarize_label
+    from e_osvos_tpu.ops.boxes import masks_to_boxes
+
+    def run_seq(name):
+        """The reference's timed region (evaluate.py:152,319-320): fine-tune
+        + windowed propagation + OnA refits; J/F scoring excluded. Mirrors
+        DetectionOneShotEvaluator.eval_sequence's serial path."""
+        seq = index.sequences[name]
+        frames = jnp.asarray(
+            np.stack([index.get_image(name, t) for t in range(len(seq))])
+        )
+        group = seq.object_groups[0]
+        gt = index.get_label(name, group.support_frame)
+        label = jnp.asarray(binarize_label(gt, group.object_ids), jnp.int32)
+        K = model.roi.detections_per_img
+        k_ft, k_win, k_ona = jax.random.split(key, 3)
+        params, _ = ev._jit_ft(meta_params, k_ft, frames[0], label, None)
+        b0, v0 = masks_to_boxes((label == 1).astype(jnp.float32)[None])
+        boxes_c = jnp.tile(b0, (K, 1))[:K]
+        valid_c = jnp.tile(v0, (K,))[:K]
+        outs = []
+        start, window_id = 1, 0
+        while start < T:
+            end = min(start + cfg.online_adapt_step, T)
+            k_run = jax.random.fold_in(k_win, window_id)
+            w_probs, _, _, boxes_c, valid_c = ev._jit_window(
+                params, frames[start:end], boxes_c, valid_c, k_run
+            )
+            outs.append(w_probs)
+            if end < T:
+                kk = min(cfg.online_adapt_step, cfg.batch_size)
+                sel = w_probs[-kk:]
+                pseudo = jnp.where(
+                    sel >= cfg.online_adapt_min_prop, 1,
+                    jnp.where(sel <= 1.0 - cfg.online_adapt_min_prop, 0, 255),
+                ).astype(jnp.int32)
+                has_fg = jnp.any(pseudo == 1, axis=(1, 2))
+                pseudo = jnp.where(has_fg[:, None, None], pseudo, 255)
+                k_w = jax.random.fold_in(k_ona, window_id)
+                params, _ = ev._jit_ona_ft(
+                    meta_params, k_w, frames[0], label,
+                    frames[start:end][-kk:], pseudo, params,
+                )
+            start = end
+            window_id += 1
+        probs = jnp.concatenate(outs)
+        # device→host transfer of the uint8 deliverable is the honest timing
+        # barrier under the axon tunnel (block_until_ready does not block)
+        return np.asarray((probs >= 0.5).astype(jnp.uint8))
+
+    t0 = time.perf_counter()
+    run_seq("seq00")  # warmup: compiles ft + window + OnA-refit programs
+    print(f"warmup (incl compile): {time.perf_counter() - t0:.0f}s",
+          flush=True)
+
+    best = float("inf")
+    for _ in range(2):
+        t0 = time.perf_counter()
+        run_seq("seq01")
+        best = min(best, time.perf_counter() - t0)
+
+    fps = T / best
+    row = {
+        "metric": "fps_480p_e-OSVOS-50-OnA_maskrcnn_incl_finetune",
+        "value": round(fps, 4),
+        "unit": "frames/sec",
+        "vs_baseline": round(fps / BASELINE_FPS, 3),
+    }
+    print(json.dumps(row), flush=True)
+    out = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "BENCH_DETECTION.json")
+    rows = []
+    if os.path.exists(out):
+        with open(out) as f:
+            rows = json.load(f)
+    rows = [r for r in rows if r["metric"] != row["metric"]] + [row]
+    with open(out, "w") as f:
+        json.dump(rows, f, indent=1)
+
+
+if __name__ == "__main__":
+    main()

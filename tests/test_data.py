@@ -229,6 +229,46 @@ class TestShippedSplits:
             assert p is not None, (ds, split)
             assert len(read_split_file(p)) == n, (ds, split)
 
+    def test_youtube_derived_split_uses_train_dir(self, tmp_path, monkeypatch):
+        """train_dev_random_123_* splits resolve through the shipped list and
+        index the 'train' directory (reference generate_youtube_vos_splits.py
+        semantics)."""
+        import json as _json
+
+        from PIL import Image
+
+        from e_osvos_tpu.data import datasets as ds
+        from e_osvos_tpu.data.datasets import YouTubeVOSIndex
+
+        root = tmp_path / "ytvos"
+        base = root / "train"
+        meta = {"videos": {}}
+        for name in ("vidA", "vidB", "vidC"):
+            (base / "JPEGImages" / name).mkdir(parents=True)
+            (base / "Annotations" / name).mkdir(parents=True)
+            for t in range(2):
+                fid = f"{t * 5:05d}"
+                Image.fromarray(
+                    np.zeros((8, 8, 3), np.uint8)
+                ).save(base / "JPEGImages" / name / f"{fid}.jpg")
+                lbl = np.zeros((8, 8), np.uint8)
+                lbl[2:5, 2:5] = 1
+                im = Image.fromarray(lbl, mode="P")
+                im.putpalette([0, 0, 0, 128, 0, 0] + [0] * 762)
+                im.save(base / "Annotations" / name / f"{fid}.png")
+            meta["videos"][name] = {
+                "objects": {"1": {"frames": ["00000", "00005"]}}
+            }
+        (base / "meta.json").write_text(_json.dumps(meta))
+        split_dir = tmp_path / "splits" / "YouTube-VOS"
+        split_dir.mkdir(parents=True)
+        (split_dir / "train_dev_random_123_val_seqs.txt").write_text(
+            "vidA\nvidC\n"
+        )
+        monkeypatch.setattr(ds, "SPLIT_DIR", str(tmp_path / "splits"))
+        idx = YouTubeVOSIndex(str(root), split="train_dev_random_123_val")
+        assert set(idx.sequences) == {"vidA", "vidC"}
+
     def test_davis_index_resolves_shipped_split(self, davis_tree):
         import shutil
 
