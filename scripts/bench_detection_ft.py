@@ -18,6 +18,9 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
+jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_bench_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
 import jax.numpy as jnp
 import numpy as np
 
@@ -77,7 +80,7 @@ def main():
     boxes0 = jnp.tile(b0, (K, 1))[:K]
     valid0 = jnp.tile(v0, (K,))[:K]
     kr = jax.random.PRNGKey(7)
-    probs, boxes, valid = ev._jit_window(params, frames, boxes0, valid0, kr)
+    probs, _, _, boxes, valid = ev._jit_window(params, frames, boxes0, valid0, kr)
     np.asarray(probs[-1])
     best = float("inf")
     for _ in range(3):

@@ -17,6 +17,9 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
+jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_bench_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
 import jax.numpy as jnp
 import numpy as np
 from flax import linen as nn
@@ -85,6 +88,12 @@ def main():
         (3, 120, 216, 256),   # ~C2 at 480p, batch 3 (fine-tune batch)
         (3, 60, 108, 512),    # C3
         (3, 30, 54, 1024),    # C4
+        # crossover probes (VERDICT r1 #9): small-spatial / decoder-ish
+        # shapes around the _PALLAS_MIN_ROWS=16384 dispatch threshold
+        (3, 15, 27, 2048),    # C5: 1215 rows
+        (1, 120, 216, 256),   # single-frame eval C2: 25920 rows
+        (3, 30, 54, 256),     # decoder trunk: 4860 rows
+        (3, 60, 108, 256),    # 19440 rows — just above threshold
     ]
     key = jax.random.PRNGKey(0)
     for shape in shapes:
