@@ -58,6 +58,7 @@ from e_osvos_tpu.ops.boxes import (
 from e_osvos_tpu.ops.nms import batched_nms
 from e_osvos_tpu.ops.roi_align import (
     multiscale_roi_align,
+    multiscale_roi_align_packed,
     roi_align,
     stack_roi_align_u8,
 )
@@ -313,7 +314,7 @@ class MaskRCNN(nn.Module):
                 jnp.arange(samp_idx.shape[0]) < num_pos, 1, 0
             ) * samp_ok.astype(jnp.int32)
 
-            box_feats = multiscale_roi_align(
+            box_feats = multiscale_roi_align_packed(
                 roi_feats_i, samp_boxes, (cfg.box_roi_size, cfg.box_roi_size),
                 ROI_SCALES,
             )
@@ -347,7 +348,7 @@ class MaskRCNN(nn.Module):
             m_boxes = samp_boxes[:num_pos]
             m_ok = posm[:num_pos]
             m_gt = samp_gt[:num_pos]
-            m_feats = multiscale_roi_align(
+            m_feats = multiscale_roi_align_packed(
                 roi_feats_i, m_boxes, (cfg.mask_roi_size, cfg.mask_roi_size),
                 ROI_SCALES,
             )
@@ -397,7 +398,7 @@ class MaskRCNN(nn.Module):
 
         def per_image(p_boxes, p_valid, *feats):
             feats = list(feats)
-            box_feats = multiscale_roi_align(
+            box_feats = multiscale_roi_align_packed(
                 feats, p_boxes, (cfg.box_roi_size, cfg.box_roi_size), ROI_SCALES
             )
             cls_logits, box_deltas = self.box_head(box_feats)
@@ -428,7 +429,7 @@ class MaskRCNN(nn.Module):
             det_scores = jnp.where(keep, scores_f[safe], 0.0)
             det_classes = jnp.where(keep, classes_f[safe], 0)
 
-            m_feats = multiscale_roi_align(
+            m_feats = multiscale_roi_align_packed(
                 feats, det_boxes, (cfg.mask_roi_size, cfg.mask_roi_size),
                 ROI_SCALES,
             )

@@ -282,6 +282,117 @@ def _multiscale_roi_align_dense(
     return jnp.einsum("lnhwc,nl->nhwc", pooled, onehot)
 
 
+def multiscale_roi_align_packed(
+    feats: Sequence[Array],
+    boxes: Array,
+    output_size: Tuple[int, int],
+    spatial_scales: Sequence[float],
+    sampling_ratio: int = 2,
+    aligned: bool = True,
+) -> Array:
+    """Corner-packed FPN ROI-align: ONE row-gather per bilinear sample.
+
+    Same contract as :func:`multiscale_roi_align`, but the pyramid is
+    re-laid-out so all four bilinear corners of a sample live in the lanes
+    of one row (``[Σ(H_l·W_l+W_l+1), 4C]``, built from shifted views of each
+    level — the stack_roi_align_1ch trick generalized to C channels and
+    multiple levels). TPU gathers are slice-count-bound (PERF.md playbook),
+    so this quarters the gather count of the 4-corner form; the 4× buffer
+    build is pure streaming bandwidth and far cheaper. The backward pass
+    scatters into the packed buffer with the same 4× fewer slices.
+    """
+    import numpy as np
+
+    num_levels = len(feats)
+    oh, ow = output_size
+    s = sampling_ratio
+    c = feats[0].shape[-1]
+    n = boxes.shape[0]
+    hs = np.asarray([f.shape[0] for f in feats])
+    ws = np.asarray([f.shape[1] for f in feats])
+    fdt = feats[0].dtype
+
+    # per-level 4-corner stacks: row i ↔ raw linear index i − (w_l+1);
+    # lanes [0:C]=(0,0) [C:2C]=(0,1) [2C:3C]=(1,0) [3C:4C]=(1,1)
+    stacks = []
+    row_offsets = []
+    acc_rows = 0
+    for f, w_l in zip(feats, ws):
+        h_l = f.shape[0]
+        m_l = h_l * w_l
+        bpad = int(w_l) + 1
+        mrows = m_l + bpad
+        flat = f.reshape(m_l, c)
+        zp = jnp.zeros((bpad, c), fdt)
+        ext = jnp.concatenate([zp, flat, zp], axis=0)
+        stacks.append(
+            jnp.concatenate(
+                [ext[0:mrows], ext[1:mrows + 1], ext[w_l:mrows + w_l],
+                 ext[w_l + 1:mrows + w_l + 1]],
+                axis=-1,
+            )
+        )
+        row_offsets.append(acc_rows)
+        acc_rows += mrows
+    big = jnp.concatenate(stacks, axis=0)  # [acc_rows, 4C]
+
+    levels = fpn_level_assignment(boxes, num_levels)  # [N]
+    h_l = jnp.asarray(hs, jnp.int32)[levels]
+    w_l = jnp.asarray(ws, jnp.int32)[levels]
+    bpad_l = w_l + 1
+    m_l = h_l * w_l
+    roff = jnp.asarray(row_offsets, jnp.int32)[levels]
+    scale = jnp.asarray(spatial_scales, jnp.float32)[levels]
+
+    offset = 0.5 if aligned else 0.0
+    b = boxes * scale[:, None]
+    x1 = b[:, 0] - offset
+    y1 = b[:, 1] - offset
+    bw = jnp.maximum(b[:, 2] - offset - x1, 1e-6)
+    bh = jnp.maximum(b[:, 3] - offset - y1, 1e-6)
+    cell_w = bw / ow
+    cell_h = bh / oh
+
+    iy = (jnp.arange(s, dtype=jnp.float32) + 0.5) / s
+    gy = jnp.arange(oh, dtype=jnp.float32)
+    gx = jnp.arange(ow, dtype=jnp.float32)
+    y = y1[:, None, None] + (gy[None, :, None] + iy[None, None, :]) * cell_h[:, None, None]
+    x = x1[:, None, None] + (gx[None, :, None] + iy[None, None, :]) * cell_w[:, None, None]
+    yy = jnp.broadcast_to(y[:, :, None, :, None], (n, oh, ow, s, s))
+    xx = jnp.broadcast_to(x[:, None, :, None, :], (n, oh, ow, s, s))
+
+    y0 = jnp.floor(yy)
+    x0 = jnp.floor(xx)
+    wy = (yy - y0).astype(fdt)
+    wx = (xx - x0).astype(fdt)
+    one = jnp.asarray(1, fdt)
+    y0i = y0.astype(jnp.int32)
+    x0i = x0.astype(jnp.int32)
+
+    hb = h_l[:, None, None, None, None]
+    wb = w_l[:, None, None, None, None]
+    bb = bpad_l[:, None, None, None, None]
+    mb = m_l[:, None, None, None, None]
+    rb = roff[:, None, None, None, None]
+
+    raw = y0i * wb + x0i
+    rows = rb + jnp.clip(raw, -bb, mb - 1) + bb
+    v = jnp.take(big, rows, axis=0)  # [N,oh,ow,s,s,4C] — all four corners
+
+    acc = jnp.zeros((n, oh, ow, s, s, c), fdt)
+    k = 0
+    for dy in (0, 1):
+        for dx in (0, 1):
+            yi = y0i + dy
+            xi = x0i + dx
+            ok = (yi >= 0) & (yi < hb) & (xi >= 0) & (xi < wb)
+            wgt = (wy if dy else one - wy) * (wx if dx else one - wx)
+            wgt = jnp.where(ok, wgt, jnp.asarray(0, fdt))
+            acc = acc + v[..., k * c:(k + 1) * c] * wgt[..., None]
+            k += 1
+    return jnp.mean(acc, axis=(3, 4))
+
+
 def multiscale_roi_align(
     feats: Sequence[Array],
     boxes: Array,
@@ -297,7 +408,9 @@ def multiscale_roi_align(
     ``[ΣH_l·W_l, C]`` buffer; each roi's samples index into its assigned
     level via a per-roi offset, so the gather volume is 1× (the dense
     compute-all-levels form costs 4× and was 62% of the per-frame time at
-    480p — scripts/bench_detection.py)."""
+    480p — scripts/bench_detection.py). See
+    :func:`multiscale_roi_align_packed` for the corner-packed variant used
+    on the training path."""
     import numpy as np
 
     num_levels = len(feats)

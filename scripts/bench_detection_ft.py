@@ -85,7 +85,7 @@ def main():
     best = float("inf")
     for _ in range(3):
         t0 = time.perf_counter()
-        probs, _, _ = ev._jit_window(params, frames, boxes0, valid0, kr)
+        probs, _, _, _, _ = ev._jit_window(params, frames, boxes0, valid0, kr)
         # transfer the uint8-equivalent deliverable like bench.py
         np.asarray((probs >= 0.5).astype(jnp.uint8))
         best = min(best, time.perf_counter() - t0)

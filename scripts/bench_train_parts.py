@@ -28,7 +28,10 @@ from e_osvos_tpu.models.rpn import (
 )
 from e_osvos_tpu.ops import losses as loss_ops
 from e_osvos_tpu.ops.boxes import box_iou, encode_boxes, masks_to_boxes
-from e_osvos_tpu.ops.roi_align import multiscale_roi_align, stack_roi_align_u8
+from e_osvos_tpu.ops.roi_align import (
+    multiscale_roi_align_packed,
+    stack_roi_align_u8,
+)
 
 H, W, B = 480, 864, 3
 ITERS = 5
@@ -90,7 +93,7 @@ def stage_fn(mdl, images, gt_masks, gt_valid, key, stage: str):
         samp_gt = best_gt[samp_idx]
         samp_label = jnp.where(jnp.arange(samp_idx.shape[0]) < num_pos, 1, 0
                                ) * samp_ok.astype(jnp.int32)
-        box_feats = multiscale_roi_align(
+        box_feats = multiscale_roi_align_packed(
             feats, samp_boxes, (cfg.box_roi_size, cfg.box_roi_size), ROI_SCALES)
         cls_logits, box_deltas = mdl.box_head(box_feats)
         logp = jax.nn.log_softmax(cls_logits, axis=-1)
@@ -111,7 +114,7 @@ def stage_fn(mdl, images, gt_masks, gt_valid, key, stage: str):
         m_boxes = samp_boxes[:num_pos]
         m_ok = posm[:num_pos]
         m_gt = samp_gt[:num_pos]
-        m_feats = multiscale_roi_align(
+        m_feats = multiscale_roi_align_packed(
             feats, m_boxes, (cfg.mask_roi_size, cfg.mask_roi_size), ROI_SCALES)
         if stage == "mask_align":
             return cls_l + breg_l + jnp.sum(m_feats.astype(jnp.float32))

@@ -278,6 +278,54 @@ class TestFlatMultiscaleRoiAlign:
             np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                        atol=1e-4, rtol=1e-4)
 
+    def test_packed_matches_flat(self):
+        """Corner-packed variant == the flat single-gather form (values)."""
+        from e_osvos_tpu.ops.roi_align import multiscale_roi_align_packed
+
+        key = jax.random.PRNGKey(3)
+        scales = [1 / 4, 1 / 8, 1 / 16, 1 / 32]
+        feats = [
+            jax.random.normal(jax.random.fold_in(key, i),
+                              (64 // (2 ** i), 96 // (2 ** i), 8))
+            for i in range(4)
+        ]
+        boxes = jnp.array(
+            [
+                [3.0, 5.0, 60.0, 50.0],
+                [0.0, 0.0, 250.0, 250.0],
+                [10.0, 10.0, 330.0, 200.0],
+                [-5.0, -5.0, 40.0, 30.0],   # partially out of range
+                [0.0, 0.0, 0.0, 0.0],       # degenerate
+                [200.0, 100.0, 400.0, 300.0],  # extends past image
+            ],
+            jnp.float32,
+        )
+        got = multiscale_roi_align_packed(feats, boxes, (7, 7), scales)
+        want = multiscale_roi_align(feats, boxes, (7, 7), scales)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   atol=1e-4, rtol=1e-4)
+
+    def test_packed_grad_matches(self):
+        from e_osvos_tpu.ops.roi_align import multiscale_roi_align_packed
+
+        scales = [1 / 2, 1 / 4]
+        key = jax.random.PRNGKey(7)
+        feats = [jax.random.normal(jax.random.fold_in(key, i), shp)
+                 for i, shp in enumerate([(16, 16, 2), (8, 8, 2)])]
+        boxes = jnp.array([[1.0, 1.0, 12.0, 12.0],
+                           [-2.0, 3.0, 20.0, 18.0]], jnp.float32)
+
+        def f(impl, *fs):
+            return jnp.sum(jnp.sin(impl(list(fs), boxes, (3, 3), scales)))
+
+        g1 = jax.grad(lambda a, b: f(multiscale_roi_align_packed, a, b),
+                      argnums=(0, 1))(*feats)
+        g2 = jax.grad(lambda a, b: f(multiscale_roi_align, a, b),
+                      argnums=(0, 1))(*feats)
+        for a, b in zip(g1, g2):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       atol=1e-4, rtol=1e-4)
+
 
 class TestStackRoiAlign1ch:
     """stack_roi_align_1ch == per-roi single-level roi_align oracle."""
