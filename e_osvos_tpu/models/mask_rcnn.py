@@ -398,7 +398,10 @@ class MaskRCNN(nn.Module):
 
         def per_image(p_boxes, p_valid, *feats):
             feats = list(feats)
-            box_feats = multiscale_roi_align_packed(
+            # flat (unpacked) form: at eval's ROI counts the packed buffer
+            # build costs more than the gathers it saves (flat 6.27 vs
+            # packed 6.97 ms/frame measured at 512+4 rois, bench_roi_pack)
+            box_feats = multiscale_roi_align(
                 feats, p_boxes, (cfg.box_roi_size, cfg.box_roi_size), ROI_SCALES
             )
             cls_logits, box_deltas = self.box_head(box_feats)
@@ -429,7 +432,7 @@ class MaskRCNN(nn.Module):
             det_scores = jnp.where(keep, scores_f[safe], 0.0)
             det_classes = jnp.where(keep, classes_f[safe], 0)
 
-            m_feats = multiscale_roi_align_packed(
+            m_feats = multiscale_roi_align(
                 feats, det_boxes, (cfg.mask_roi_size, cfg.mask_roi_size),
                 ROI_SCALES,
             )

@@ -78,19 +78,23 @@ def group_norm(
     return y.astype(x.dtype)
 
 
-# Pallas stats kernels beat the XLA reduction only when the per-sample
-# spatial extent is large enough to amortize the kernel dispatch (measured
-# crossover ~10k rows at 480p backbone shapes; scripts/bench_groupnorm.py),
-# and need the channel axis to fill the 128-wide lanes.
-_PALLAS_MIN_ROWS = 16384
+# Pallas stats kernels beat the XLA reduction only when the TOTAL row count
+# (batch × spatial) is large enough to amortize the kernel dispatch, and
+# need the channel axis to fill the 128-wide lanes. Measured in-situ
+# (conv→GN→relu chain, scripts/bench_groupnorm.py, v5e, crossover table in
+# PERF.md): wins at 77.8k rows (batch-3 C2, fwd 4.55 vs 5.12 ms/layer, bwd
+# 5.97 vs 6.83), ties-to-loses at 19.4k (batch-3 C3) and 25.9k (batch-1 C2
+# — per-sample rows alone misdispatch this one), loses below. 65536 splits
+# the measured win from every measured loss.
+_PALLAS_MIN_TOTAL_ROWS = 65536
 _PALLAS_MIN_CHANNELS = 128
 
 
 def _use_pallas(x: Array) -> bool:
     if jax.default_backend() not in ("tpu", "axon"):
         return False
-    m = math.prod(x.shape[1:-1])
-    return m >= _PALLAS_MIN_ROWS and x.shape[-1] >= _PALLAS_MIN_CHANNELS
+    m = math.prod(x.shape[:-1])
+    return m >= _PALLAS_MIN_TOTAL_ROWS and x.shape[-1] >= _PALLAS_MIN_CHANNELS
 
 
 class FusedGroupNorm(nn.Module):

@@ -99,6 +99,24 @@ def main():
     print(f"e-OSVOS-{FT_STEPS} end-to-end: {total:.2f} s for {T} frames "
           f"= {fps:.2f} fps (reference V100: 5.3 fps)", flush=True)
 
+    import json
+
+    row = {
+        "metric": f"fps_480p_e-OSVOS-{FT_STEPS}_maskrcnn_incl_finetune",
+        "value": round(fps, 4),
+        "unit": "frames/sec",
+        "vs_baseline": round(fps / 5.3, 3),  # reference e-OSVOS-10, V100
+    }
+    out = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "BENCH_DETECTION.json")
+    rows = []
+    if os.path.exists(out):
+        with open(out) as f:
+            rows = json.load(f)
+    rows = [r for r in rows if r["metric"] != row["metric"]] + [row]
+    with open(out, "w") as f:
+        json.dump(rows, f, indent=1)
+
 
 if __name__ == "__main__":
     main()

@@ -89,7 +89,7 @@ def main():
         (3, 60, 108, 512),    # C3
         (3, 30, 54, 1024),    # C4
         # crossover probes (VERDICT r1 #9): small-spatial / decoder-ish
-        # shapes around the _PALLAS_MIN_ROWS=16384 dispatch threshold
+        # shapes around the _PALLAS_MIN_TOTAL_ROWS dispatch threshold
         (3, 15, 27, 2048),    # C5: 1215 rows
         (1, 120, 216, 256),   # single-frame eval C2: 25920 rows
         (3, 30, 54, 256),     # decoder trunk: 4860 rows
