@@ -50,18 +50,41 @@ def build_parent_model(cfg: Dict):
             num_classes=1,
         )
     elif arch == "MaskRCNN":
-        from e_osvos_tpu.models import RoIConfig
+        import dataclasses as _dc
+
+        from e_osvos_tpu.models import RoIConfig, RPNConfig
 
         roi_sizes = pm.get("roi_pool_output_sizes", {})
+        roi_kwargs = dict(
+            box_roi_size=int(roi_sizes.get("box", 7)),
+            nms_thresh=float(pm.get("box_nms_thresh", 0.5)),
+            mask_loss=str(pm.get("maskrcnn_loss", "LOVASZ")).lower(),
+            detections_per_img=int(pm.get("detections_per_img", 1)),
+        )
+        if roi_sizes.get("mask") is not None:
+            roi_kwargs["mask_out_size"] = int(roi_sizes["mask"])
+        # rebuild extension (no reference YAML equivalent — torchvision
+        # hard-codes these): parent_model.{rpn,roi} subtrees override any
+        # RPNConfig/RoIConfig field, e.g. anchor_sizes/pre_nms_top_n for
+        # small-resolution runs and tests
+        rpn_over = dict(pm.get("rpn", {}) or {})
+        roi_over = dict(pm.get("roi", {}) or {})
+        for fields, over in ((RPNConfig, rpn_over), (RoIConfig, roi_over)):
+            valid = {f.name for f in _dc.fields(fields)}
+            unknown = set(over) - valid
+            if unknown:
+                raise KeyError(f"unknown {fields.__name__} keys: {unknown}")
+        for k, v in rpn_over.items():
+            rpn_over[k] = tuple(v) if isinstance(v, list) else v
+        roi_kwargs.update(
+            {k: tuple(v) if isinstance(v, list) else v
+             for k, v in roi_over.items()}
+        )
         kwargs.update(
             arch=pm.get("encoder", "resnet50"),
             backbone_norm=norm("backbone_norm", "group"),
-            roi=RoIConfig(
-                box_roi_size=int(roi_sizes.get("box", 7)),
-                nms_thresh=float(pm.get("box_nms_thresh", 0.5)),
-                mask_loss=str(pm.get("maskrcnn_loss", "LOVASZ")).lower(),
-                detections_per_img=int(pm.get("detections_per_img", 1)),
-            ),
+            rpn=RPNConfig(**rpn_over),
+            roi=RoIConfig(**roi_kwargs),
         )
     return build_model(arch, **kwargs)
 

@@ -68,7 +68,10 @@ def main(argv=None):
     logger = MetricsLogger(path=os.path.join(save_dir, "eval_metrics.jsonl"))
 
     model = build_parent_model(cfg)
-    params = init_model_params(cfg, model)
+    # params are resolution-independent (fully convolutional); init at the
+    # configured eval size (data_cfg.init_hw) or the DAVIS 480p default
+    init_hw = cfg.get("data_cfg", {}).get("init_hw") or (480, 864)
+    params = init_model_params(cfg, model, input_hw=tuple(init_hw))
     meta_params = resolve_meta_params(cfg, model, params)
 
     evaluator = build_evaluator(cfg, model)
