@@ -19,7 +19,6 @@ from e_osvos_tpu.cli.common import (
     resolve_meta_params,
 )
 from e_osvos_tpu.engine.meta_trainer import MetaTrainer
-from e_osvos_tpu.engine.one_shot import OneShotEvaluator
 from e_osvos_tpu.meta_optim.tasksets import MetaTaskset
 from e_osvos_tpu.parallel import make_mesh
 from e_osvos_tpu.utils import MetricsLogger
@@ -41,12 +40,22 @@ def main(argv=None):
         indexes, cfglib.to_taskset_config(cfg), seed=int(cfg.get("seed", 1))
     )
 
+    # architecture dispatch (reference default is MaskRCNN, cfgs/meta.yaml:70):
+    # the detection family meta-trains through the same SPMD step with its
+    # own support/query loss pair
+    arch = cfg.get("parent_model", {}).get("architecture", "DeepLabV3Plus")
+    task_fns = None
+    if arch == "MaskRCNN":
+        from e_osvos_tpu.parallel.meta_step import detection_task_fns
+
+        task_fns = detection_task_fns(model, cfglib.to_meta_step_config(cfg))
+
     eval_fn = None
     val_indexes = build_indexes(cfg, "val")
     if val_indexes and cfg.get("eval_interval"):
-        meta_cfg = cfglib.to_meta_optim_config(cfg)
-        one_shot_cfg = cfglib.to_one_shot_config(cfg)
-        evaluator = OneShotEvaluator(model.apply, meta_cfg, one_shot_cfg)
+        from e_osvos_tpu.cli.evaluate import build_evaluator
+
+        evaluator = build_evaluator(cfg, model)
         index = val_indexes[0]
 
         def eval_fn(meta_params, meta_iter):
@@ -77,6 +86,7 @@ def main(argv=None):
         mesh=make_mesh(),
         logger=MetricsLogger(path=os.path.join(save_dir, "metrics.jsonl")),
         eval_fn=eval_fn,
+        task_fns=task_fns,
     )
     trainer.meta_params = resolve_meta_params(cfg, model, params)
     if cfg.get("resume"):

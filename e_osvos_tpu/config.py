@@ -164,6 +164,7 @@ def to_meta_step_config(cfg: Dict) -> MetaStepConfig:
         ),
         loss_func=str(cfg.get("loss_func", "dice")),
         normalize_mode="unit" if cfg.get("data_cfg", {}).get("normalize") else "davis",
+        remat=bool(cfg.get("remat", True)),
         augment=to_augment_config(cfg),
         random_box_coord_perm=bool(cfg.get("random_box_coord_perm", False)),
     )

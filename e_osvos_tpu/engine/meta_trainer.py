@@ -72,6 +72,7 @@ class MetaTrainer:
         mesh=None,
         logger: Optional[MetricsLogger] = None,
         eval_fn: Optional[Callable[[MetaParams, int], Dict]] = None,
+        task_fns=None,
     ):
         self.taskset = taskset
         self.train_cfg = train_cfg
@@ -83,6 +84,9 @@ class MetaTrainer:
         )
         self.eval_fn = eval_fn
         self.meta_params = init_meta_params(meta_cfg, init_params)
+        # task_fns: architecture-specific (support_loss, query_loss) pair —
+        # the detection family injects detection_task_fns(model, step_cfg)
+        # here (parallel/meta_step.py:122); None = dense segmentation default
         self.step = make_meta_step(
             model_apply,
             meta_cfg,
@@ -90,6 +94,7 @@ class MetaTrainer:
             outer_cfg,
             self.mesh,
             train_cfg.meta_batch_size,
+            task_fns=task_fns,
         )
         self.opt_state = self.step.init(self.meta_params)
         self.meta_iter = 0

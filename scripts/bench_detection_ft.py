@@ -33,7 +33,10 @@ from e_osvos_tpu.models.mask_rcnn import MaskRCNN
 from e_osvos_tpu.ops.boxes import masks_to_boxes
 
 H, W, T = 480, 864, 67
-FT_STEPS = 10
+# reference anchors per fine-tune step count (BASELINE.md: cell-3 fps for
+# e-OSVOS-10/50; T=100 from the cell-5 sweep, 0.69 s/frame)
+FT_STEPS = int(os.environ.get("FT_STEPS", 10))
+ANCHOR_FPS = {10: 5.3, 50: 1.64, 100: 1.45}.get(FT_STEPS, 5.3)
 
 
 def main():
@@ -97,7 +100,7 @@ def main():
     total = ft_time + win_time
     fps = T / total
     print(f"e-OSVOS-{FT_STEPS} end-to-end: {total:.2f} s for {T} frames "
-          f"= {fps:.2f} fps (reference V100: 5.3 fps)", flush=True)
+          f"= {fps:.2f} fps (reference V100: {ANCHOR_FPS} fps)", flush=True)
 
     import json
 
@@ -105,7 +108,7 @@ def main():
         "metric": f"fps_480p_e-OSVOS-{FT_STEPS}_maskrcnn_incl_finetune",
         "value": round(fps, 4),
         "unit": "frames/sec",
-        "vs_baseline": round(fps / 5.3, 3),  # reference e-OSVOS-10, V100
+        "vs_baseline": round(fps / ANCHOR_FPS, 3),
     }
     out = os.path.join(os.path.dirname(os.path.dirname(
         os.path.abspath(__file__))), "BENCH_DETECTION.json")

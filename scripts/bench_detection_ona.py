@@ -35,7 +35,9 @@ from e_osvos_tpu.models.mask_rcnn import MaskRCNN
 from e_osvos_tpu.data.synthetic import SyntheticVOSIndex
 
 H, W, T = 480, 854, 67
-BASELINE_FPS = 0.35
+# reference anchors (BASELINE.md): e-OSVOS-50-OnA 0.35 fps, 100-OnA 0.29
+NUM_EPOCHS = int(os.environ.get("NUM_EPOCHS", 50))
+BASELINE_FPS = {50: 0.35, 100: 0.29}.get(NUM_EPOCHS, 0.35)
 
 
 def main():
@@ -53,7 +55,7 @@ def main():
     )
     meta_params = init_meta_params(meta_cfg, variables)
     cfg = DetectionOneShotConfig(
-        num_epochs=50, batch_size=3,
+        num_epochs=NUM_EPOCHS, batch_size=3,
         online_adapt_step=5, online_adapt_epochs=10,
         online_adapt_min_prop=0.75,
         proposal_aug_mode="EXTEND",
@@ -127,7 +129,7 @@ def main():
 
     fps = T / best
     row = {
-        "metric": "fps_480p_e-OSVOS-50-OnA_maskrcnn_incl_finetune",
+        "metric": f"fps_480p_e-OSVOS-{NUM_EPOCHS}-OnA_maskrcnn_incl_finetune",
         "value": round(fps, 4),
         "unit": "frames/sec",
         "vs_baseline": round(fps / BASELINE_FPS, 3),

@@ -158,3 +158,43 @@ class TestCliEndToEnd:
         train = [l for l in lines if l["event"] == "meta_train"]
         assert train and "meta_loss" in train[0] and "lr_mean" in train[0]
         assert (tmp_path / "last_meta_iter.ckpt").exists()
+
+    def test_train_meta_cli_detection(self, tmp_path):
+        """Meta-training the reference's DEFAULT architecture (MaskRCNN,
+        cfgs/meta.yaml:70) from the CLI: detection_task_fns must be injected
+        into the SPMD step (round-2 fix — round 1 only wired the dense
+        path)."""
+        import json
+
+        import numpy as np
+
+        from e_osvos_tpu.cli import train_meta as tm_cli
+
+        argv = [
+            "with", "Synthetic",
+            "synthetic.size=[64,64]",
+            "parent_model.architecture=MaskRCNN",
+            "parent_model.encoder=resnet10",
+            "parent_model.backbone_norm=group4",
+            "parent_model.dtype=float32",
+            "parent_model.rpn.anchor_sizes=[8,16,32,64,128]",
+            "parent_model.rpn.pre_nms_top_n=32",
+            "parent_model.rpn.post_nms_top_n=16",
+            "parent_model.rpn.batch_size_per_image=16",
+            "parent_model.roi.batch_size_per_image=8",
+            "meta_batch_size=8",
+            "num_meta_iters=1",
+            "num_epochs.train=1",
+            "bptt_epochs=1",
+            "data_cfg.batch_sizes.train=1",
+            "data_cfg.crop_sizes.train=[64,64]",
+            "remat=False",
+            "vis_interval=1",
+            f"save_dir={tmp_path}",
+        ]
+        tm_cli.main(argv)
+        lines = [json.loads(l) for l in
+                 (tmp_path / "metrics.jsonl").read_text().splitlines()]
+        train = [l for l in lines if l["event"] == "meta_train"]
+        assert train and np.isfinite(train[0]["meta_loss"])
+        assert (tmp_path / "last_meta_iter.ckpt").exists()
