@@ -219,7 +219,13 @@ def resolve_meta_params(cfg: Dict, model, params) -> MetaParams:
     (meta_optim_model_file / resume semantics, train_meta.py:91-107)."""
     meta_cfg = cfglib.to_meta_optim_config(cfg)
     mp = init_meta_params(meta_cfg, params)
-    ckpt = cfg.get("meta_optim_model_file") or cfg.get("resume")
+    explicit = cfg.get("meta_optim_model_file")
+    if explicit and not os.path.exists(explicit):
+        # an explicitly named meta checkpoint must exist — silently falling
+        # back to the random init would fake an eval result. (`resume` stays
+        # lenient: a fresh run legitimately has no last_meta_iter.ckpt yet.)
+        raise FileNotFoundError(f"meta_optim_model_file: {explicit!r}")
+    ckpt = explicit or cfg.get("resume")
     if ckpt and os.path.exists(ckpt):
         state, _ = load_checkpoint(ckpt, {"meta_params": mp, "opt_state": None})
         mp = state["meta_params"]

@@ -6,6 +6,7 @@ the meta-trained params vs the random init under the identical protocol.
 CPU-mesh experiment; prints the numbers the test bar is derived from.
 """
 
+import argparse
 import os
 import sys
 import time
@@ -14,9 +15,22 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax  # noqa: E402
 
-jax.config.update("jax_platforms", "cpu")
-jax.config.update("jax_num_cpu_devices", 8)
-jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_test_cache")
+_ap = argparse.ArgumentParser()
+_ap.add_argument("--tpu", action="store_true",
+                 help="run on the default (TPU) backend instead of the "
+                 "8-device CPU mesh")
+_ap.add_argument("--size", type=int, default=64, help="frame side length")
+_ap.add_argument("--iters", type=int, default=60)
+_ap.add_argument("--arch", default="resnet10")
+_ap.add_argument("--num-train-seqs", type=int, default=6)
+ARGS = _ap.parse_args()
+
+if not ARGS.tpu:
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_num_cpu_devices", 8)
+    jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_test_cache")
+else:
+    jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_tpu_cache")
 
 import jax.numpy as jnp  # noqa: E402
 import numpy as np  # noqa: E402
@@ -39,7 +53,7 @@ from e_osvos_tpu.parallel import (  # noqa: E402
 from e_osvos_tpu.parallel.meta_step import detection_task_fns  # noqa: E402
 from e_osvos_tpu.utils import MetricsLogger  # noqa: E402
 
-SIZE = (64, 64)
+SIZE = (ARGS.size, ARGS.size)
 MILD = AugmentConfig(scale_min=0.95, scale_max=1.05, rot_deg=5.0,
                      brightness=0.02, contrast=0.02, saturation=0.02,
                      flip_prob=0.0)
@@ -47,7 +61,7 @@ MILD = AugmentConfig(scale_min=0.95, scale_max=1.05, rot_deg=5.0,
 
 def tiny_model():
     return MaskRCNN(
-        arch="resnet10", backbone_norm="group4",
+        arch=ARGS.arch, backbone_norm="group4",
         rpn=RPNConfig(anchor_sizes=(8, 16, 32, 64, 128),
                       pre_nms_top_n=32, post_nms_top_n=16,
                       batch_size_per_image=16),
@@ -64,7 +78,8 @@ def main():
     meta_cfg = MetaOptimConfig(lr_hierarchy_level="neuron", init_lr=1e-3,
                                learn_model_init=True, use_log_init_lr=False)
 
-    train_idx = SyntheticVOSIndex(num_sequences=6, num_frames=4, size=SIZE,
+    train_idx = SyntheticVOSIndex(num_sequences=ARGS.num_train_seqs,
+                                  num_frames=4, size=SIZE,
                                   num_objects=1, seed=0)
     held = SyntheticVOSIndex(num_sequences=2, num_frames=4, size=SIZE,
                              num_objects=1, seed=100, name_prefix="held")
@@ -72,7 +87,8 @@ def main():
         [train_idx], MetaTasksetConfig(num_query_frames=1, crop_size=SIZE),
         seed=0,
     )
-    mesh = make_mesh(num_tasks=4, devices=jax.devices()[:4])
+    n_shards = min(4, jax.device_count())
+    mesh = make_mesh(num_tasks=n_shards, devices=jax.devices()[:n_shards])
     step_cfg = MetaStepConfig(num_epochs=3, bptt_epochs=3,
                               train_batch_size=1, remat=False, augment=MILD)
     trainer = MetaTrainer(
@@ -84,7 +100,7 @@ def main():
         outer_cfg=OuterOptimConfig(model_init_lr=1e-3, log_init_lr_lr=1e-3,
                                    lr=1e-3, model_init_weight_decay=0.0,
                                    grad_clip=0.1),
-        train_cfg=MetaTrainConfig(meta_batch_size=4, num_meta_iters=60,
+        train_cfg=MetaTrainConfig(meta_batch_size=4, num_meta_iters=ARGS.iters,
                                   vis_interval=10),
         mesh=mesh,
         logger=MetricsLogger(echo=True),

@@ -198,3 +198,75 @@ class TestCliEndToEnd:
         train = [l for l in lines if l["event"] == "meta_train"]
         assert train and np.isfinite(train[0]["meta_loss"])
         assert (tmp_path / "last_meta_iter.ckpt").exists()
+
+    def test_full_pipeline_parent_meta_eval(self, tmp_path):
+        """The reference's complete workflow chained through the three CLIs
+        (README.md:50-83): train_parent pre-trains the segmentation net →
+        train_meta meta-trains from that parent checkpoint → evaluate runs
+        one-shot eval from the meta checkpoint. Every hand-off is a file on
+        disk, exactly as a user would drive it."""
+        import json
+
+        import numpy as np
+
+        from e_osvos_tpu.cli import evaluate as eval_cli
+        from e_osvos_tpu.cli import train_meta as tm_cli
+        from e_osvos_tpu.cli import train_parent as tp_cli
+
+        arch = [
+            "parent_model.architecture=DeepLabV3",
+            "parent_model.encoder=resnet10",
+            "parent_model.backbone_norm=group4",
+            "parent_model.decoder_norm_layer=group4",
+            "parent_model.dtype=float32",
+        ]
+        # 1) parent pre-training
+        tp_cli.main([
+            "with", "Synthetic", *arch,
+            "parent.num_iters=3",
+            "parent.batch_size=8",
+            "parent.log_interval=1",
+            "data_cfg.crop_sizes.train=[48,48]",
+            f"save_dir={tmp_path}/parent",
+        ])
+        parent_ckpt = tmp_path / "parent" / "parent_final.ckpt"
+        assert parent_ckpt.exists()
+
+        # 2) meta-training seeded from the parent checkpoint
+        tm_cli.main([
+            "with", "Synthetic", *arch,
+            f"parent_model.checkpoint={parent_ckpt}",
+            "meta_batch_size=8",
+            "num_meta_iters=1",
+            "num_epochs.train=2",
+            "bptt_epochs=2",
+            "data_cfg.batch_sizes.train=2",
+            "vis_interval=1",
+            f"save_dir={tmp_path}/meta",
+        ])
+        meta_ckpt = tmp_path / "meta" / "last_meta_iter.ckpt"
+        assert meta_ckpt.exists()
+
+        # 3) one-shot eval from the meta checkpoint
+        eval_cli.main([
+            "with", "Synthetic", *arch,
+            f"parent_model.checkpoint={parent_ckpt}",
+            f"meta_optim_model_file={meta_ckpt}",
+            "num_epochs.eval=2",
+            f"save_dir={tmp_path}/eval",
+        ])
+        lines = [json.loads(l) for l in
+                 (tmp_path / "eval" / "eval_metrics.jsonl")
+                 .read_text().splitlines()]
+        seqs = [l for l in lines if l["event"] == "eval_seq"]
+        assert seqs and all(np.isfinite(l["J_mean"]) for l in seqs)
+
+        # an explicit but missing meta checkpoint must fail loudly, not
+        # silently evaluate from the random init
+        with pytest.raises(FileNotFoundError):
+            eval_cli.main([
+                "with", "Synthetic", *arch,
+                f"meta_optim_model_file={tmp_path}/nope.ckpt",
+                "num_epochs.eval=1",
+                f"save_dir={tmp_path}/eval2",
+            ])
