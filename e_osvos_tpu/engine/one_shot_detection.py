@@ -144,6 +144,21 @@ class DetectionOneShotEvaluator:
         pseudo-GT frames (evaluate.py:215-253 parity — the reference
         switches to ToTensor-only and takes inputs[:1])."""
         cfg = self.cfg
+        if cfg.ona_only_box_head:
+            # the lr mask (_ona_meta_params) already makes non-head updates
+            # no-ops; stop_gradient additionally lets XLA skip the whole
+            # backbone/FPN/RPN backward, which is what makes the restricted
+            # mode FAST. (In the reference this restriction is inert: its
+            # apply_param_groups_step_box_head filter is `if True:`,
+            # meta_model.py:73-76, so it updates everything — our False
+            # default matches that actual behavior.)
+            def stop_non_head(path, leaf):
+                name = jax.tree_util.keystr(path).lower()
+                if "box_head" in name or "mask_head" in name:
+                    return leaf
+                return jax.lax.stop_gradient(leaf)
+
+            params = jax.tree_util.tree_map_with_path(stop_non_head, params)
         key, img, label, prop_imgs, prop_labels = batch
         k_sample = key
         imgs = jnp.concatenate(

@@ -38,6 +38,11 @@ H, W, T = 480, 854, 67
 # reference anchors (BASELINE.md): e-OSVOS-50-OnA 0.35 fps, 100-OnA 0.29
 NUM_EPOCHS = int(os.environ.get("NUM_EPOCHS", 50))
 BASELINE_FPS = {50: 0.35, 100: 0.29}.get(NUM_EPOCHS, 0.35)
+# ONLY_BOX_HEAD=1: OnA refits restricted to the box/mask heads (the switch
+# the reference names but ships inert — meta_model.py:73-76 `if True:`); the
+# stop-gradient implementation skips the backbone backward, so refits are
+# much cheaper. Recorded as a separate metric row, not the parity headline.
+ONLY_BOX_HEAD = bool(int(os.environ.get("ONLY_BOX_HEAD", "0")))
 
 
 def main():
@@ -59,6 +64,7 @@ def main():
         online_adapt_step=5, online_adapt_epochs=10,
         online_adapt_min_prop=0.75,
         proposal_aug_mode="EXTEND",
+        ona_only_box_head=ONLY_BOX_HEAD,
     )
     ev = DetectionOneShotEvaluator(model, meta_cfg, cfg)
 
@@ -128,8 +134,10 @@ def main():
         best = min(best, time.perf_counter() - t0)
 
     fps = T / best
+    suffix = "_boxhead" if ONLY_BOX_HEAD else ""
     row = {
-        "metric": f"fps_480p_e-OSVOS-{NUM_EPOCHS}-OnA_maskrcnn_incl_finetune",
+        "metric": (f"fps_480p_e-OSVOS-{NUM_EPOCHS}-OnA_maskrcnn"
+                   f"_incl_finetune{suffix}"),
         "value": round(fps, 4),
         "unit": "frames/sec",
         "vs_baseline": round(fps / BASELINE_FPS, 3),

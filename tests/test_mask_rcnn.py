@@ -274,6 +274,60 @@ class TestDetectionOneShot:
                                jax.random.PRNGKey(9))
         assert res["merged"].shape == (5, SIZE, SIZE)
 
+    def test_ona_only_box_head_updates_heads_only(self):
+        """only_box_head OnA refits must (a) leave every non-head parameter
+        bit-identical (backbone/FPN/RPN are stop-gradient'd, so XLA skips
+        their backward entirely) and (b) actually move the box/mask heads.
+        Note the reference's own restriction is inert — its filter is
+        `if True:` (meta_model.py:73-76) — so this is a working version of
+        the switch the reference only names."""
+        from e_osvos_tpu.data.synthetic import SyntheticVOSIndex
+        from e_osvos_tpu.engine.one_shot_detection import (
+            DetectionOneShotConfig,
+            DetectionOneShotEvaluator,
+        )
+        from e_osvos_tpu.meta_optim import MetaOptimConfig, init_meta_params
+
+        model = tiny_model()
+        variables = model.init(
+            {"params": jax.random.PRNGKey(0), "sample": jax.random.PRNGKey(1)},
+            jnp.zeros((1, SIZE, SIZE, 3), jnp.float32),
+        )
+        meta_cfg = MetaOptimConfig(init_lr=1e-2, use_log_init_lr=False)
+        meta_params = init_meta_params(meta_cfg, variables)
+        cfg = DetectionOneShotConfig(
+            num_epochs=1, batch_size=1,
+            online_adapt_step=2, online_adapt_epochs=2,
+            ona_only_box_head=True,
+        )
+        ev = DetectionOneShotEvaluator(model, meta_cfg, cfg)
+        index = SyntheticVOSIndex(num_sequences=1, num_frames=3,
+                                  size=(SIZE, SIZE), num_objects=1, seed=5)
+        img = jnp.asarray(index.get_image("seq00", 0), jnp.float32)
+        label = jnp.asarray(index.get_label("seq00", 0), jnp.int32)
+        prop_imgs = jnp.asarray(
+            np.stack([index.get_image("seq00", 1)]), jnp.float32
+        )
+        prop_labels = jnp.asarray(
+            np.stack([index.get_label("seq00", 1)]), jnp.int32
+        )
+        before = jax.tree_util.tree_map(jnp.copy, variables)
+        after, _ = ev._jit_ona_ft(
+            meta_params, jax.random.PRNGKey(3), img, label,
+            prop_imgs, prop_labels,
+            jax.tree_util.tree_map(jnp.copy, variables),
+        )
+        flat_b = jax.tree_util.tree_flatten_with_path(before)[0]
+        flat_a = jax.tree_util.tree_flatten_with_path(after)[0]
+        head_moved = False
+        for (path_b, b), (_, a) in zip(flat_b, flat_a):
+            name = jax.tree_util.keystr(path_b).lower()
+            if "box_head" in name or "mask_head" in name:
+                head_moved = head_moved or bool(jnp.any(b != a))
+            else:
+                assert jnp.array_equal(b, a), f"non-head leaf moved: {name}"
+        assert head_moved
+
 
 class TestDetectionObjectBatched:
     """Detection eval with objects as a vmap batch axis (per-object params,
