@@ -180,13 +180,21 @@ def _load_parent_state(path: str, params_template):
     a native msgpack checkpoint."""
     if path.endswith((".pth", ".pt", ".model")):
         from e_osvos_tpu.models.torch_import import (
+            detect_torch_architecture,
+            load_mapped_from_torch,
             load_torch_file,
             shape_matched_load,
         )
 
-        state, _copied = shape_matched_load(
-            params_template, load_torch_file(path)
-        )
+        sd = load_torch_file(path)
+        # name-mapped import when the key vocabulary identifies a reference
+        # model family (exact per-tensor routing incl. fc6 CHW→HWC reorder
+        # and BN-stat folding); shape-matched copy otherwise — the
+        # reference's own surgery rule (mask_rcnn.py:467-475)
+        if detect_torch_architecture(sd) != "unknown":
+            state, _copied = load_mapped_from_torch(params_template, sd)
+        else:
+            state, _copied = shape_matched_load(params_template, sd)
         return state
     state, _ = load_checkpoint(path, params_template)
     return state

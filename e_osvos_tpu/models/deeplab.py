@@ -29,6 +29,7 @@ from typing import Any, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from flax import linen as nn
 
 from e_osvos_tpu.models.resnet import ResNet, make_norm
@@ -42,6 +43,36 @@ def resize_bilinear(x: Array, size: Tuple[int, int]) -> Array:
     if (h, w) == tuple(size):
         return x
     return jax.image.resize(x, (b, size[0], size[1], c), method="bilinear")
+
+
+def _interp_matrix_align_corners(n_in: int, n_out: int) -> jnp.ndarray:
+    """[n_out, n_in] 1-D linear-interpolation matrix with align_corners=True
+    sampling (out i reads in position i·(n_in−1)/(n_out−1))."""
+    if n_in == 1:
+        return jnp.ones((n_out, 1), jnp.float32)
+    pos = np.arange(n_out, dtype=np.float64) * (n_in - 1) / max(n_out - 1, 1)
+    lo = np.clip(np.floor(pos).astype(np.int64), 0, n_in - 1)
+    hi = np.minimum(lo + 1, n_in - 1)
+    frac = (pos - lo).astype(np.float32)
+    m = np.zeros((n_out, n_in), np.float32)
+    np.add.at(m, (np.arange(n_out), lo), 1.0 - frac)
+    np.add.at(m, (np.arange(n_out), hi), frac)
+    return jnp.asarray(m)
+
+
+def resize_bilinear_align_corners(x: Array, size: Tuple[int, int]) -> Array:
+    """Bilinear NHWC resize with align_corners=True — the convention the
+    reference decoder uses to upsample the ASPP output onto the low-level
+    features (deeplabv3plus.py:91), kept for checkpoint-import numeric
+    fidelity. Implemented as two small dense interpolation matmuls (trace-
+    time constants), which tile the MXU instead of emitting gathers."""
+    b, h, w, c = x.shape
+    if (h, w) == tuple(size):
+        return x
+    mh = _interp_matrix_align_corners(h, size[0]).astype(x.dtype)
+    mw = _interp_matrix_align_corners(w, size[1]).astype(x.dtype)
+    y = jnp.einsum("oh,bhwc->bowc", mh, x)
+    return jnp.einsum("pw,bowc->bopc", mw, y)
 
 
 class ASPP(nn.Module):
@@ -155,7 +186,9 @@ class DeepLabV3Plus(nn.Module):
         low = conv(48, (1, 1), name="low_conv")(feats["C2"])
         low = nn.relu(norm(name="low_norm")(low))
 
-        y = resize_bilinear(y, (low.shape[1], low.shape[2]))
+        # align_corners=True to match the reference decoder's interpolation
+        # (deeplabv3plus.py:91) so imported parent checkpoints reproduce
+        y = resize_bilinear_align_corners(y, (low.shape[1], low.shape[2]))
         y = jnp.concatenate([y, low.astype(y.dtype)], axis=-1)
         y = conv(256, (3, 3), padding="SAME", name="dec_conv1")(y)
         y = nn.relu(norm(name="dec_norm1")(y))

@@ -165,6 +165,278 @@ def shape_matched_load(
     return _unflatten(flat), copied
 
 
+def deeplab_name_map(torch_key: str, variant: str = "v3plus") -> str | None:
+    """Reference DeepLabV3/V3+ state-dict key → our flax module path.
+
+    Key vocabulary per the reference model classes:
+      - ``backbone.*`` — torchvision resnet inside IntermediateLayerGetter
+        (/root/reference/src/networks/deeplabv3plus.py:113-118)
+      - ``classifier.0.*`` — torchvision ASPP (convs.0 = 1x1 branch,
+        convs.1-3 = dilated branches, convs.4 = pooling branch, project)
+        wrapped by DeepLabHead (deeplabv3plus.py:15-20)
+      - V3+ ``decoder.*`` — conv1/bn1 low-level reduce + last_conv
+        Sequential{0:conv,1:bn,4:conv,5:bn,8:classifier}
+        (deeplabv3plus.py:69-81)
+      - plain V3 ``classifier.{1,2,4}`` — torchvision DeepLabHead tail
+        (3x3 conv, BN, final 1x1) (/root/reference/src/networks/
+        deeplabv3.py:24-42 loads it unchanged)
+    """
+    k = torch_key
+    if k.startswith("backbone."):
+        mapped = resnet_name_map(k)
+        return f"backbone/{mapped}" if mapped else None
+    if k.startswith("aux_classifier."):
+        return None  # dropped by the reference surgery too (deeplabv3.py:37-39)
+    m = re.match(r"classifier\.0\.convs\.(\d)\.(\d)\.(\w+)", k)
+    if m:
+        branch, idx, pname = int(m.group(1)), int(m.group(2)), m.group(3)
+        if branch <= 3:  # Sequential(conv, norm, relu)
+            mod = f"b{branch}_conv" if idx == 0 else f"b{branch}_norm"
+        else:  # pooling branch: Sequential(pool, conv, norm, relu)
+            mod = "pool_conv" if idx == 1 else "pool_norm"
+        p = "kernel" if mod.endswith("_conv") else _norm_param(pname)
+        return f"aspp/{mod}/{p}" if p else None
+    m = re.match(r"classifier\.0\.project\.(\d)\.(\w+)", k)
+    if m:
+        idx, pname = int(m.group(1)), m.group(2)
+        if idx == 0:
+            return "aspp/proj_conv/kernel"
+        p = _norm_param(pname)
+        return f"aspp/proj_norm/{p}" if p else None
+    if variant == "v3plus":
+        m = re.match(r"decoder\.conv1\.weight", k)
+        if m:
+            return "low_conv/kernel"
+        m = re.match(r"decoder\.bn1\.(\w+)", k)
+        if m:
+            p = _norm_param(m.group(1))
+            return f"low_norm/{p}" if p else None
+        m = re.match(r"decoder\.last_conv\.(\d)\.(\w+)", k)
+        if m:
+            idx, pname = int(m.group(1)), m.group(2)
+            if idx == 8:  # final 1x1 classifier (has bias)
+                return f"classifier/{'kernel' if pname == 'weight' else 'bias'}"
+            mod = {0: "dec_conv1", 1: "dec_norm1", 4: "dec_conv2",
+                   5: "dec_norm2"}.get(idx)
+            if mod is None:
+                return None
+            if mod.endswith("_conv") or mod.startswith("dec_conv"):
+                return f"{mod}/kernel" if pname == "weight" else None
+            p = _norm_param(pname)
+            return f"{mod}/{p}" if p else None
+        return None
+    # plain V3 head tail
+    m = re.match(r"classifier\.1\.weight", k)
+    if m:
+        return "head_conv/kernel"
+    m = re.match(r"classifier\.2\.(\w+)", k)
+    if m:
+        p = _norm_param(m.group(1))
+        return f"head_norm/{p}" if p else None
+    m = re.match(r"classifier\.4\.(\w+)", k)
+    if m:
+        return f"classifier/{'kernel' if m.group(1) == 'weight' else 'bias'}"
+    return None
+
+
+def maskrcnn_name_map(torch_key: str) -> str | None:
+    """torchvision MaskRCNN state-dict key → our flax module path.
+
+    Covers the module set the reference trains (/root/reference/src/
+    networks/mask_rcnn.py:425-465): resnet50-FPN backbone, RPN head, box
+    head + predictor, mask head + predictor. The reference's GroupNorm swap
+    (mask_rcnn.py:523-534) keeps the BN key names, so this map serves both
+    BN and GN checkpoints.
+    """
+    k = torch_key
+    if k.startswith("backbone.body."):
+        mapped = resnet_name_map(k)
+        return f"backbone/{mapped}" if mapped else None
+    m = re.match(r"backbone\.fpn\.(inner|layer)_blocks\.(\d)(?:\.0)?\.(weight|bias)", k)
+    if m:
+        kind, i, pname = m.group(1), int(m.group(2)), m.group(3)
+        mod = f"lateral{i + 2}" if kind == "inner" else f"output{i + 2}"
+        return f"fpn/{mod}/{'kernel' if pname == 'weight' else 'bias'}"
+    m = re.match(r"rpn\.head\.(conv|cls_logits|bbox_pred)(?:\.0\.0)?\.(weight|bias)", k)
+    if m:
+        return (
+            f"rpn_head/{m.group(1)}/"
+            f"{'kernel' if m.group(2) == 'weight' else 'bias'}"
+        )
+    m = re.match(r"roi_heads\.box_head\.fc([67])\.(weight|bias)", k)
+    if m:
+        return (
+            f"box_head/fc{m.group(1)}/"
+            f"{'kernel' if m.group(2) == 'weight' else 'bias'}"
+        )
+    m = re.match(r"roi_heads\.box_predictor\.(cls_score|bbox_pred)\.(weight|bias)", k)
+    if m:
+        return (
+            f"box_head/{m.group(1)}/"
+            f"{'kernel' if m.group(2) == 'weight' else 'bias'}"
+        )
+    m = re.match(r"roi_heads\.mask_head\.mask_fcn(\d)(?:\.0)?\.(weight|bias)", k)
+    if m:
+        return (
+            f"mask_head/mask_fcn{m.group(1)}/"
+            f"{'kernel' if m.group(2) == 'weight' else 'bias'}"
+        )
+    m = re.match(r"roi_heads\.mask_predictor\.conv5_mask\.(weight|bias)", k)
+    if m:
+        return f"mask_head/deconv/{'kernel' if m.group(1) == 'weight' else 'bias'}"
+    m = re.match(r"roi_heads\.mask_predictor\.mask_fcn_logits\.(weight|bias)", k)
+    if m:
+        return (
+            f"mask_head/mask_logits/"
+            f"{'kernel' if m.group(1) == 'weight' else 'bias'}"
+        )
+    return None
+
+
+def detect_torch_architecture(torch_state_dict: Dict[str, Any]) -> str:
+    """Which reference model family a state dict belongs to, from its key
+    vocabulary: 'maskrcnn' | 'deeplab_v3plus' | 'deeplab_v3' | 'resnet' |
+    'unknown'."""
+    keys = list(torch_state_dict.keys())
+    if any(k.startswith("roi_heads.") for k in keys):
+        return "maskrcnn"
+    if any(k.startswith("decoder.last_conv") for k in keys):
+        return "deeplab_v3plus"
+    if any(k.startswith("classifier.0.convs") for k in keys):
+        return "deeplab_v3"
+    if any(k.startswith(("layer1.", "conv1.", "backbone.")) for k in keys):
+        return "resnet"
+    return "unknown"
+
+
+def _fc6_to_flax(w: np.ndarray, pooled_hw: Tuple[int, int] = (7, 7)) -> np.ndarray:
+    """Box-head fc6 weight: torch flattens the pooled ROI [C,H,W] C-major,
+    flax flattens [H,W,C] — reorder the input dimension before transposing.
+    A plain transpose silently misroutes every feature (same shape!)."""
+    out_dim, in_dim = w.shape
+    h, wd = pooled_hw
+    c = in_dim // (h * wd)
+    if c * h * wd != in_dim:
+        return dense_to_flax(w)
+    w = w.reshape(out_dim, c, h, wd).transpose(0, 2, 3, 1).reshape(out_dim, in_dim)
+    return dense_to_flax(w)
+
+
+def _deconv_to_flax(w: np.ndarray) -> np.ndarray:
+    """torch ConvTranspose2d weight [I,O,kH,kW] → flax ConvTranspose
+    [kH,kW,I,O]. flax's ConvTranspose runs a fractionally-strided *forward*
+    conv (lax.conv_transpose, transpose_kernel=False) while torch uses the
+    conv-gradient convention, so the spatial taps must also be flipped."""
+    return np.ascontiguousarray(np.transpose(w, (2, 3, 0, 1))[::-1, ::-1])
+
+
+def _strip_collection(key: str) -> str:
+    head, _, rest = key.partition("/")
+    if head in ("params", "constants", "batch_stats"):
+        return rest
+    return key
+
+
+def load_mapped_from_torch(
+    variables: Dict[str, Any],
+    torch_state_dict: Dict[str, Any],
+    architecture: str | None = None,
+    bn_eps: float = 1e-5,
+) -> Tuple[Dict[str, Any], int]:
+    """Name-mapped import of a reference checkpoint into flax variables.
+
+    ``variables`` may be a full flax variables dict (params + constants /
+    batch_stats collections) or a bare params tree. Tensors are copied only
+    where the mapped path exists and the (layout-converted) shape matches —
+    the reference's shape-matched-copy rule (mask_rcnn.py:467-475), so
+    COCO's 91-class heads are skipped for a 2-class model exactly as the
+    reference does. BatchNorm running statistics fold into frozen
+    scale/bias targets (``frozen_bn`` norms) when the template has no
+    mean/var leaves: scale' = w/sqrt(var+eps), bias' = b − mean·scale'.
+    Returns (new_variables, num_torch_tensors_consumed)."""
+    if architecture is None:
+        architecture = detect_torch_architecture(torch_state_dict)
+    if architecture == "maskrcnn":
+        name_map = maskrcnn_name_map
+    elif architecture == "deeplab_v3plus":
+        name_map = lambda k: deeplab_name_map(k, "v3plus")
+    elif architecture == "deeplab_v3":
+        name_map = lambda k: deeplab_name_map(k, "v3")
+    elif architecture == "resnet":
+        name_map = resnet_name_map
+    else:
+        raise ValueError(f"cannot name-map architecture {architecture!r}")
+
+    flat = _flatten(variables)
+    # module path (collection stripped) → full flat key
+    by_path: Dict[str, str] = {}
+    for k in flat:
+        by_path.setdefault(_strip_collection(k), k)
+
+    copied = 0
+    # norm groups whose torch side carries running stats: path-prefix →
+    # {param: array}; resolved in a second pass (fold or direct copy)
+    norm_groups: Dict[str, Dict[str, np.ndarray]] = {}
+    for tk, tv in torch_state_dict.items():
+        if tk.endswith("num_batches_tracked"):
+            continue
+        mapped = name_map(tk)
+        if mapped is None:
+            continue
+        arr = _to_numpy(tv)
+        base, _, leaf = mapped.rpartition("/")
+        is_norm_module = "norm" in base.rsplit("/", 1)[-1]
+        if leaf in ("scale", "bias", "mean", "var") and is_norm_module:
+            norm_groups.setdefault(base, {})[leaf] = arr
+            continue
+        if leaf == "kernel" and arr.ndim == 4:
+            arr = (
+                _deconv_to_flax(arr)
+                if mapped.endswith("deconv/kernel")
+                else conv_to_hwio(arr)
+            )
+        elif leaf == "kernel" and arr.ndim == 2:
+            arr = (
+                _fc6_to_flax(arr)
+                if mapped.endswith("fc6/kernel")
+                else dense_to_flax(arr)
+            )
+        fk = by_path.get(mapped)
+        if fk is not None and tuple(flat[fk].shape) == tuple(arr.shape):
+            flat[fk] = arr.astype(np.asarray(flat[fk]).dtype)
+            copied += 1
+
+    for base, group in norm_groups.items():
+        scale_key = by_path.get(f"{base}/scale")
+        bias_key = by_path.get(f"{base}/bias")
+        if scale_key is None or bias_key is None:
+            continue
+        has_stats_target = (
+            f"{base}/mean" in by_path and f"{base}/var" in by_path
+        )
+        w = group.get("scale")
+        b = group.get("bias")
+        mean = group.get("mean")
+        var = group.get("var")
+        if w is None or b is None:
+            continue
+        if tuple(flat[scale_key].shape) != tuple(w.shape):
+            continue
+        if mean is not None and var is not None and not has_stats_target:
+            # fold frozen BN stats into scale/bias (fuse.py semantics)
+            s = w / np.sqrt(var + bn_eps)
+            w, b = s, b - mean * s
+        flat[scale_key] = w.astype(np.asarray(flat[scale_key]).dtype)
+        flat[bias_key] = b.astype(np.asarray(flat[bias_key]).dtype)
+        copied += 2
+        if mean is not None and var is not None and has_stats_target:
+            mk, vk = by_path[f"{base}/mean"], by_path[f"{base}/var"]
+            flat[mk] = mean.astype(np.asarray(flat[mk]).dtype)
+            flat[vk] = var.astype(np.asarray(flat[vk]).dtype)
+            copied += 2
+    return _unflatten(flat), copied
+
+
 def load_torch_file(path: str) -> Dict[str, Any]:
     """Unpickle a .pth state dict with CPU torch."""
     import torch

@@ -1,0 +1,269 @@
+"""End-to-end checkpoint-import forward parity vs reference-shaped torch
+models (VERDICT r1 #2b, extended from the resnet trunk to every model family).
+
+Each test: build the torch twin (state-dict keys identical to what the
+reference saves — see tests/torch_twins.py), randomize, import via the
+name-mapped loader, and require the flax forward to match the torch forward
+numerically. This proves a reference user's parent `.pth` checkpoints
+reproduce under the TPU framework (migration contract, MIGRATING.md)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+
+import torch_twins as twins
+from e_osvos_tpu.models.torch_import import (
+    deeplab_name_map,
+    detect_torch_architecture,
+    load_mapped_from_torch,
+    maskrcnn_name_map,
+)
+
+RTOL = 5e-4
+ATOL = 5e-4
+
+
+def _n_tensors(sd):
+    return sum(1 for k in sd if not k.endswith("num_batches_tracked"))
+
+
+class TestNameMaps:
+    def test_deeplab_v3plus_keys(self):
+        assert deeplab_name_map("backbone.conv1.weight") == (
+            "backbone/stem_conv/kernel")
+        assert deeplab_name_map("classifier.0.convs.0.0.weight") == (
+            "aspp/b0_conv/kernel")
+        assert deeplab_name_map("classifier.0.convs.2.1.bias") == (
+            "aspp/b2_norm/bias")
+        assert deeplab_name_map("classifier.0.convs.4.1.weight") == (
+            "aspp/pool_conv/kernel")
+        assert deeplab_name_map("classifier.0.project.0.weight") == (
+            "aspp/proj_conv/kernel")
+        assert deeplab_name_map("decoder.conv1.weight") == "low_conv/kernel"
+        assert deeplab_name_map("decoder.last_conv.4.weight") == (
+            "dec_conv2/kernel")
+        assert deeplab_name_map("decoder.last_conv.8.bias") == (
+            "classifier/bias")
+        assert deeplab_name_map("aux_classifier.0.weight") is None
+
+    def test_deeplab_v3_keys(self):
+        assert deeplab_name_map("classifier.1.weight", "v3") == (
+            "head_conv/kernel")
+        assert deeplab_name_map("classifier.2.running_mean", "v3") == (
+            "head_norm/mean")
+        assert deeplab_name_map("classifier.4.weight", "v3") == (
+            "classifier/kernel")
+
+    def test_maskrcnn_keys(self):
+        assert maskrcnn_name_map("backbone.body.layer2.0.conv3.weight") == (
+            "backbone/layer2_block0/conv3/kernel")
+        assert maskrcnn_name_map("backbone.fpn.inner_blocks.0.weight") == (
+            "fpn/lateral2/kernel")
+        assert maskrcnn_name_map("backbone.fpn.layer_blocks.3.bias") == (
+            "fpn/output5/bias")
+        # newer torchvision nests a Conv2dNormActivation: inner_blocks.0.0
+        assert maskrcnn_name_map("backbone.fpn.inner_blocks.1.0.weight") == (
+            "fpn/lateral3/kernel")
+        assert maskrcnn_name_map("rpn.head.conv.weight") == (
+            "rpn_head/conv/kernel")
+        assert maskrcnn_name_map("roi_heads.box_head.fc6.weight") == (
+            "box_head/fc6/kernel")
+        assert maskrcnn_name_map("roi_heads.box_predictor.bbox_pred.bias") == (
+            "box_head/bbox_pred/bias")
+        assert maskrcnn_name_map("roi_heads.mask_head.mask_fcn3.weight") == (
+            "mask_head/mask_fcn3/kernel")
+        assert maskrcnn_name_map(
+            "roi_heads.mask_predictor.conv5_mask.weight") == (
+            "mask_head/deconv/kernel")
+
+    def test_architecture_detection(self):
+        assert detect_torch_architecture(
+            {"roi_heads.box_head.fc6.weight": 0}) == "maskrcnn"
+        assert detect_torch_architecture(
+            {"decoder.last_conv.0.weight": 0}) == "deeplab_v3plus"
+        assert detect_torch_architecture(
+            {"classifier.0.convs.0.0.weight": 0}) == "deeplab_v3"
+        assert detect_torch_architecture(
+            {"conv1.weight": 0, "layer1.0.conv1.weight": 0}) == "resnet"
+
+
+class TestDeepLabForwardParity:
+    @pytest.mark.parametrize("output_stride", [8, 16])
+    def test_v3plus_full_forward(self, output_stride):
+        from e_osvos_tpu.models import DeepLabV3Plus
+
+        tm = twins.DeepLabV3Plus(num_classes=1, output_stride=output_stride)
+        tm.eval()
+        twins.randomize(tm, seed=3)
+        sd = tm.state_dict()
+
+        model = DeepLabV3Plus(
+            num_classes=1, arch="resnet10", backbone_norm="group4_xla",
+            head_norm="group4_xla", output_stride=output_stride,
+        )
+        x = np.random.RandomState(4).rand(1, 64, 64, 3).astype(np.float32)
+        variables = model.init(jax.random.PRNGKey(0), jnp.asarray(x))
+        new_vars, copied = load_mapped_from_torch(variables, sd)
+        assert copied == _n_tensors(sd), "every twin tensor must land"
+
+        with torch.no_grad():
+            t_out = tm(torch.from_numpy(x.transpose(0, 3, 1, 2)))
+        j_out = model.apply(new_vars, jnp.asarray(x))
+        np.testing.assert_allclose(
+            np.asarray(j_out)[..., 0],
+            t_out.numpy()[:, 0],
+            rtol=RTOL, atol=ATOL,
+        )
+
+    def test_v3_full_forward(self):
+        from e_osvos_tpu.models import DeepLabV3
+
+        tm = twins.DeepLabV3(num_classes=1, output_stride=8)
+        tm.eval()
+        twins.randomize(tm, seed=5)
+        sd = tm.state_dict()
+
+        model = DeepLabV3(
+            num_classes=1, arch="resnet10", backbone_norm="group4_xla",
+            head_norm="group4_xla", output_stride=8,
+        )
+        x = np.random.RandomState(6).rand(1, 64, 64, 3).astype(np.float32)
+        variables = model.init(jax.random.PRNGKey(0), jnp.asarray(x))
+        new_vars, copied = load_mapped_from_torch(variables, sd)
+        assert copied == _n_tensors(sd)
+
+        with torch.no_grad():
+            t_out = tm(torch.from_numpy(x.transpose(0, 3, 1, 2)))
+        j_out = model.apply(new_vars, jnp.asarray(x))
+        np.testing.assert_allclose(
+            np.asarray(j_out)[..., 0], t_out.numpy()[:, 0],
+            rtol=RTOL, atol=ATOL,
+        )
+
+    def test_v3plus_batchnorm_folds_into_frozen_bn(self):
+        """A BN-normed reference checkpoint (the parent default,
+        cfgs/meta.yaml batch_norm) imports into our frozen_bn template by
+        folding running stats into scale/bias."""
+        from e_osvos_tpu.models import DeepLabV3Plus
+
+        bn = lambda c: torch.nn.BatchNorm2d(c)
+        tm = twins.DeepLabV3Plus(num_classes=1, output_stride=16, norm=bn)
+        tm.eval()
+        twins.randomize(tm, seed=7)
+        sd = tm.state_dict()
+
+        model = DeepLabV3Plus(
+            num_classes=1, arch="resnet10", backbone_norm="frozen_bn",
+            head_norm="frozen_bn", output_stride=16,
+        )
+        x = np.random.RandomState(8).rand(1, 64, 64, 3).astype(np.float32)
+        variables = model.init(jax.random.PRNGKey(0), jnp.asarray(x))
+        new_vars, copied = load_mapped_from_torch(variables, sd)
+        # mean/var fold instead of landing, so copied counts scale+bias
+        # pairs plus convs — every *conv* tensor and every norm pair lands
+        assert copied == _n_tensors(sd) - 2 * sum(
+            1 for k in sd if k.endswith("running_mean"))
+
+        with torch.no_grad():
+            t_out = tm(torch.from_numpy(x.transpose(0, 3, 1, 2)))
+        j_out = model.apply(new_vars, jnp.asarray(x))
+        np.testing.assert_allclose(
+            np.asarray(j_out)[..., 0], t_out.numpy()[:, 0],
+            rtol=1e-3, atol=1e-3,
+        )
+
+
+class TestMaskRCNNForwardParity:
+    @pytest.fixture(scope="class")
+    def imported(self):
+        from e_osvos_tpu.models import MaskRCNN, RoIConfig, RPNConfig
+
+        tm = twins.MaskRCNN(num_classes=2)
+        tm.eval()
+        twins.randomize(tm, seed=11)
+        sd = tm.state_dict()
+
+        model = MaskRCNN(
+            arch="resnet10", backbone_norm="group4_xla",
+            rpn=RPNConfig(anchor_sizes=(8, 16, 32, 64, 128),
+                          pre_nms_top_n=64, post_nms_top_n=32,
+                          batch_size_per_image=32),
+            roi=RoIConfig(batch_size_per_image=16, detections_per_img=2),
+        )
+        imgs = jnp.zeros((1, 64, 64, 3), jnp.float32)
+        variables = model.init(
+            {"params": jax.random.PRNGKey(0), "sample": jax.random.PRNGKey(1)},
+            imgs,
+        )
+        new_vars, copied = load_mapped_from_torch(variables, sd)
+        assert copied == _n_tensors(sd), "every twin tensor must land"
+        return tm, model, new_vars
+
+    def test_pyramid_parity(self, imported):
+        """backbone.body + backbone.fpn: full P2..P6 pyramid matches."""
+        tm, model, new_vars = imported
+        x = np.random.RandomState(12).rand(1, 64, 64, 3).astype(np.float32)
+        with torch.no_grad():
+            t_ps = tm.pyramid(torch.from_numpy(x.transpose(0, 3, 1, 2)))
+        j_ps = model.apply(new_vars, jnp.asarray(x),
+                           method=lambda m, v: m._features(v))
+        assert len(t_ps) == len(j_ps) == 5
+        for lvl, (tp, jp) in enumerate(zip(t_ps, j_ps)):
+            np.testing.assert_allclose(
+                np.asarray(jp), tp.numpy().transpose(0, 2, 3, 1),
+                rtol=RTOL, atol=ATOL, err_msg=f"P{lvl + 2}",
+            )
+
+    def test_rpn_head_parity(self, imported):
+        tm, model, new_vars = imported
+        f = np.random.RandomState(13).rand(1, 16, 16, 256).astype(np.float32)
+        with torch.no_grad():
+            t_cls, t_reg = tm.rpn["head"](
+                torch.from_numpy(f.transpose(0, 3, 1, 2)))
+        j_logits, j_deltas = model.apply(
+            new_vars, [jnp.asarray(f)],
+            method=lambda m, feats: m.rpn_head(feats))
+        # ours flattens NHWC·A; torch lays out [B, A, H, W]
+        j_cls = np.asarray(j_logits[0]).reshape(1, 16, 16, 3)
+        np.testing.assert_allclose(
+            j_cls, t_cls.numpy().transpose(0, 2, 3, 1),
+            rtol=RTOL, atol=ATOL)
+        j_reg = np.asarray(j_deltas[0]).reshape(1, 16, 16, 3, 4)
+        t_reg = t_reg.numpy().reshape(1, 3, 4, 16, 16).transpose(0, 3, 4, 1, 2)
+        np.testing.assert_allclose(j_reg, t_reg, rtol=RTOL, atol=ATOL)
+
+    def test_box_head_parity(self, imported):
+        """Pooled-ROI features through fc6/fc7/predictors: catches the
+        CHW-vs-HWC flatten-order trap in the fc6 import."""
+        tm, model, new_vars = imported
+        pooled = np.random.RandomState(14).rand(5, 7, 7, 256).astype(
+            np.float32)
+        with torch.no_grad():
+            t_cls, t_reg = tm.box_forward(
+                torch.from_numpy(pooled.transpose(0, 3, 1, 2)))
+        j_cls, j_reg = model.apply(
+            new_vars, jnp.asarray(pooled),
+            method=lambda m, p: m.box_head(p))
+        np.testing.assert_allclose(np.asarray(j_cls), t_cls.numpy(),
+                                   rtol=RTOL, atol=ATOL)
+        np.testing.assert_allclose(
+            np.asarray(j_reg), t_reg.numpy().reshape(5, 2, 4),
+            rtol=RTOL, atol=ATOL)
+
+    def test_mask_head_parity(self, imported):
+        """mask_fcn1..4 + ConvTranspose deconv + logits: catches the
+        transposed-conv kernel-layout/flip convention."""
+        tm, model, new_vars = imported
+        x = np.random.RandomState(15).rand(4, 14, 14, 256).astype(np.float32)
+        with torch.no_grad():
+            t_logits = tm.mask_forward(
+                torch.from_numpy(x.transpose(0, 3, 1, 2)))
+        j_logits = model.apply(new_vars, jnp.asarray(x),
+                               method=lambda m, v: m.mask_head(v))
+        assert j_logits.shape == (4, 28, 28, 2)
+        np.testing.assert_allclose(
+            np.asarray(j_logits), t_logits.numpy().transpose(0, 2, 3, 1),
+            rtol=RTOL, atol=ATOL)
