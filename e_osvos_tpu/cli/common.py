@@ -235,6 +235,20 @@ def resolve_meta_params(cfg: Dict, model, params) -> MetaParams:
         raise FileNotFoundError(f"meta_optim_model_file: {explicit!r}")
     ckpt = explicit or cfg.get("resume")
     if ckpt and os.path.exists(ckpt):
-        state, _ = load_checkpoint(ckpt, {"meta_params": mp, "opt_state": None})
-        mp = state["meta_params"]
+        if ckpt.endswith((".model", ".pth", ".pt")):
+            # reference meta checkpoint: learned init + per-neuron log lrs
+            # under mangled names (train_meta.py:278-286, meta_optim.py:46-78)
+            from e_osvos_tpu.models.torch_import import (
+                import_meta_checkpoint_from_torch,
+                load_torch_file,
+            )
+
+            mp, _ic, _lc = import_meta_checkpoint_from_torch(
+                mp, load_torch_file(ckpt)
+            )
+        else:
+            state, _ = load_checkpoint(
+                ckpt, {"meta_params": mp, "opt_state": None}
+            )
+            mp = state["meta_params"]
     return mp

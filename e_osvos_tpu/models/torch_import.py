@@ -437,11 +437,137 @@ def load_mapped_from_torch(
     return _unflatten(flat), copied
 
 
+def _lr_to_flax(arr: np.ndarray, mapped: str, param_shape: tuple) -> np.ndarray | None:
+    """Convert a reference NEURON/PARAM learning-rate tensor to our lr-tree
+    leaf layout.
+
+    The reference stores one lr per *output neuron* as shape (C, 1, ...) on
+    torch OIHW/| (out,in) layouts (meta_optim.py:46-67); our lr tree keeps
+    the output axis last to match flax HWIO/(in,out) layouts (lr_tree.py).
+    ConvTranspose is the one asymmetric case: torch dim 0 of an [I,O,kH,kW]
+    deconv weight is the *input* channel, so its per-dim-0 lr lands on the
+    flax kernel's axis 2. PARAM-level lrs reuse the kernel transforms.
+    Returns None when the tensor cannot be interpreted for ``param_shape``.
+    """
+    is_deconv = mapped.endswith("deconv/kernel")
+    # PARAM granularity: full param shape → same transforms as the weights
+    if arr.ndim == len(param_shape) and arr.size == int(np.prod(param_shape)):
+        if arr.ndim == 4:
+            return _deconv_to_flax(arr) if is_deconv else conv_to_hwio(arr)
+        if arr.ndim == 2:
+            return (_fc6_to_flax(arr) if mapped.endswith("fc6/kernel")
+                    else dense_to_flax(arr))
+        return arr
+    # NEURON granularity: (C, 1, ...) with C on torch dim 0
+    flatc = arr.reshape(-1)
+    c = flatc.shape[0]
+    if len(param_shape) == 0:
+        return flatc.reshape(()) if c == 1 else None
+    if is_deconv and len(param_shape) == 4 and c == param_shape[2]:
+        return flatc.reshape(1, 1, c, 1)
+    if c == param_shape[-1]:
+        return flatc.reshape((1,) * (len(param_shape) - 1) + (c,))
+    return None
+
+
+def import_meta_checkpoint_from_torch(
+    meta_params,
+    torch_ckpt: Dict[str, Any],
+    architecture: str | None = None,
+):
+    """Import a reference meta-training checkpoint (``*.model``) into our
+    MetaParams.
+
+    The reference saves ``{meta_optim_state_dict, vis_win_names, meta_iter,
+    meta_epoch}`` (train_meta.py:278-286) where the state dict holds the
+    learned model init as ``model_init_<param-name with . → ->`` and the
+    learned per-neuron log lrs as ``log_init_lr_<...>``
+    (meta_optim.py:46-78). Both groups are de-mangled and routed through
+    the architecture name map; lr tensors additionally move from the torch
+    output-axis-first convention to our output-axis-last lr-tree layout.
+
+    Note the checkpoint carries only *trainable* tensors — frozen-BN
+    statistics (``constants``) keep the template's values, so pair this
+    with the matching parent ``.pth`` when the model uses frozen BN.
+    Returns (new_meta_params, init_copied, lr_copied)."""
+    sd = torch_ckpt.get("meta_optim_state_dict", torch_ckpt)
+    init_sd: Dict[str, Any] = {}
+    lr_sd: Dict[str, Any] = {}
+    for k, v in sd.items():
+        if k.startswith("model_init_"):
+            init_sd[k[len("model_init_"):].replace("-", ".")] = v
+        elif k.startswith("log_init_lr_"):
+            lr_sd[k[len("log_init_lr_"):].replace("-", ".")] = v
+        elif k == "log_init_lr":
+            raise ValueError(
+                "checkpoint uses SINGLE/TENSOR lr granularity (one shared "
+                "'log_init_lr' tensor); only NEURON/PARAM per-parameter lrs "
+                "are importable (the published configuration, "
+                "cfgs/meta.yaml:37)"
+            )
+    if architecture is None:
+        architecture = detect_torch_architecture(init_sd or lr_sd)
+
+    init_copied = 0
+    model_init = meta_params.model_init
+    if model_init is not None and init_sd:
+        model_init, init_copied = load_mapped_from_torch(
+            model_init, init_sd, architecture
+        )
+
+    # lr tree: same name map as the weights, custom shape conversion
+    if architecture == "maskrcnn":
+        name_map = maskrcnn_name_map
+    elif architecture == "deeplab_v3plus":
+        name_map = lambda k: deeplab_name_map(k, "v3plus")
+    elif architecture == "deeplab_v3":
+        name_map = lambda k: deeplab_name_map(k, "v3")
+    else:
+        name_map = resnet_name_map
+    flat_lr = _flatten(meta_params.log_init_lr)
+    by_path = {}
+    for k in flat_lr:
+        by_path.setdefault(_strip_collection(k), k)
+    # param shapes tell NEURON from PARAM granularity and validate axes
+    flat_init = _flatten(meta_params.model_init) if meta_params.model_init else {}
+    param_shape_by_path = {
+        _strip_collection(k): tuple(np.shape(v)) for k, v in flat_init.items()
+    }
+    lr_copied = 0
+    for tk, tv in lr_sd.items():
+        mapped = name_map(tk)
+        if mapped is None:
+            continue
+        fk = by_path.get(mapped)
+        if fk is None:
+            continue
+        pshape = param_shape_by_path.get(mapped)
+        if pshape is None:
+            continue
+        arr = _lr_to_flax(_to_numpy(tv), mapped, pshape)
+        if arr is None or tuple(arr.shape) != tuple(np.shape(flat_lr[fk])):
+            continue
+        flat_lr[fk] = arr.astype(np.asarray(flat_lr[fk]).dtype)
+        lr_copied += 1
+    return (
+        meta_params._replace(
+            model_init=model_init, log_init_lr=_unflatten(flat_lr)
+        ),
+        init_copied,
+        lr_copied,
+    )
+
+
 def load_torch_file(path: str) -> Dict[str, Any]:
-    """Unpickle a .pth state dict with CPU torch."""
+    """Unpickle a .pth/.model file with CPU torch. Reference ``.model``
+    meta checkpoints carry non-tensor metadata (vis window names, iteration
+    counters), which newer torch rejects under weights_only — fall back."""
     import torch
 
-    sd = torch.load(path, map_location="cpu", weights_only=True)
+    try:
+        sd = torch.load(path, map_location="cpu", weights_only=True)
+    except Exception:
+        sd = torch.load(path, map_location="cpu", weights_only=False)
     if isinstance(sd, dict) and "state_dict" in sd:
         sd = sd["state_dict"]
     return sd

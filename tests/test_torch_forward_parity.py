@@ -267,3 +267,95 @@ class TestMaskRCNNForwardParity:
         np.testing.assert_allclose(
             np.asarray(j_logits), t_logits.numpy().transpose(0, 2, 3, 1),
             rtol=RTOL, atol=ATOL)
+
+
+class TestMetaCheckpointImport:
+    """Reference `.model` meta checkpoints (train_meta.py:278-286): learned
+    init + per-neuron log lrs under mangled names import into MetaParams."""
+
+    def test_reference_meta_checkpoint_roundtrip(self, tmp_path):
+        from e_osvos_tpu.meta_optim import MetaOptimConfig, init_meta_params
+        from e_osvos_tpu.models import DeepLabV3Plus
+        from e_osvos_tpu.models.torch_import import (
+            import_meta_checkpoint_from_torch,
+            load_torch_file,
+        )
+
+        tm = twins.DeepLabV3Plus(num_classes=1, output_stride=16)
+        tm.eval()
+        twins.randomize(tm, seed=21)
+
+        # reference-format state dict: model_init_* + log_init_lr_* with
+        # '.'→'-' mangling (meta_optim.py:46-78); lr values are distinct
+        # per tensor AND per neuron so any misrouting breaks equality
+        sd = {}
+        expected_lrs = {}
+        for i, (name, p) in enumerate(tm.named_parameters()):
+            mangled = name.replace(".", "-")
+            sd[f"model_init_{mangled}"] = p.detach().clone()
+            lr_shape = (p.shape[0],) + (1,) * (p.ndim - 1)
+            lr = (torch.arange(p.shape[0], dtype=torch.float32) * 1e-3
+                  + float(i)).reshape(lr_shape)
+            sd[f"log_init_lr_{mangled}"] = lr
+            expected_lrs[name] = lr.numpy().reshape(-1)
+        ckpt = {"meta_optim_state_dict": sd, "vis_win_names": {"w": "x"},
+                "meta_iter": 7, "meta_epoch": 2}
+        path = tmp_path / "best_val_meta_iter.model"
+        torch.save(ckpt, str(path))
+
+        model = DeepLabV3Plus(
+            num_classes=1, arch="resnet10", backbone_norm="group4_xla",
+            head_norm="group4_xla", output_stride=16,
+        )
+        x = np.random.RandomState(22).rand(1, 64, 64, 3).astype(np.float32)
+        variables = model.init(jax.random.PRNGKey(0), jnp.asarray(x))
+        mp = init_meta_params(
+            MetaOptimConfig(lr_hierarchy_level="neuron",
+                            learn_model_init=True, use_log_init_lr=True),
+            variables,
+        )
+        mp2, init_copied, lr_copied = import_meta_checkpoint_from_torch(
+            mp, load_torch_file(str(path))
+        )
+        n_params = len(list(tm.named_parameters()))
+        assert init_copied == n_params
+        assert lr_copied == n_params
+
+        # (a) learned-init forward parity
+        with torch.no_grad():
+            t_out = tm(torch.from_numpy(x.transpose(0, 3, 1, 2)))
+        j_out = model.apply(mp2.model_init, jnp.asarray(x))
+        np.testing.assert_allclose(
+            np.asarray(j_out)[..., 0], t_out.numpy()[:, 0],
+            rtol=RTOL, atol=ATOL,
+        )
+
+        # (b) every lr tensor landed on the right leaf in neuron order
+        from e_osvos_tpu.models.torch_import import (
+            _flatten,
+            _strip_collection,
+            deeplab_name_map,
+        )
+
+        flat_lr = {_strip_collection(k): v
+                   for k, v in _flatten(mp2.log_init_lr).items()}
+        for name, want in expected_lrs.items():
+            mapped = deeplab_name_map(name)
+            assert mapped in flat_lr, (name, mapped)
+            got = np.asarray(flat_lr[mapped]).reshape(-1)
+            np.testing.assert_allclose(got, want, err_msg=name)
+
+    def test_single_granularity_rejected(self):
+        from e_osvos_tpu.meta_optim import MetaOptimConfig, init_meta_params
+        from e_osvos_tpu.models.torch_import import (
+            import_meta_checkpoint_from_torch,
+        )
+
+        mp = init_meta_params(
+            MetaOptimConfig(), {"params": {"w": jnp.zeros((3, 3))}}
+        )
+        with pytest.raises(ValueError, match="SINGLE/TENSOR"):
+            import_meta_checkpoint_from_torch(
+                mp, {"meta_optim_state_dict":
+                     {"log_init_lr": torch.zeros(1, 1)}}
+            )
