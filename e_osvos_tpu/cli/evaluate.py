@@ -59,7 +59,14 @@ def build_evaluator(cfg, model):
             ona_only_box_head=bool(ona.get("only_box_head", False)),
         )
         return DetectionOneShotEvaluator(model, meta_cfg, det_cfg)
-    return OneShotEvaluator(model.apply, meta_cfg, one_shot_cfg)
+    mesh = None
+    if cfg.get("eval_frame_parallel"):
+        # shard the inference frame axis over every local device
+        # (frame-parallel eval, engine/one_shot.py::_install_frame_sharding)
+        from e_osvos_tpu.parallel import make_mesh
+
+        mesh = make_mesh()
+    return OneShotEvaluator(model.apply, meta_cfg, one_shot_cfg, mesh=mesh)
 
 
 def main(argv=None):

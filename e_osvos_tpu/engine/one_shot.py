@@ -189,6 +189,7 @@ class OneShotEvaluator:
         meta_cfg: MetaOptimConfig,
         cfg: OneShotConfig,
         batch_objects: bool = True,
+        mesh: Optional[Any] = None,
     ):
         self.model_apply = model_apply
         self.meta_cfg = meta_cfg
@@ -257,6 +258,55 @@ class OneShotEvaluator:
             jax.vmap(_ona_ft_obj, in_axes=(None, None, 0, None, 0, 0)),
             donate_argnums=(5,),
         )
+        if mesh is not None:
+            self._install_frame_sharding(mesh)
+
+    def _install_frame_sharding(self, mesh) -> None:
+        """Frame-parallel inference over a device mesh.
+
+        Frames are independent given the fine-tuned parameters (per-frame
+        CNN, SURVEY.md §5.7), so segmentation is pure data parallelism:
+        the frame axis shards over the mesh's first axis, parameters are
+        replicated, and XLA moves nothing over ICI except the initial
+        broadcast. This is a capability beyond the reference (whose eval
+        binds one whole GPU per dataset, evaluate.py:20,
+        train_meta.py:134-146); fine-tune and OnA refits stay replicated —
+        they are sequential scans with a small per-step batch."""
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        axis = mesh.axis_names[0]
+        n = int(np.prod(list(mesh.shape.values())))
+        rep = NamedSharding(mesh, P())
+        frame_sh = NamedSharding(mesh, P(axis))
+        obj_frame_sh = NamedSharding(mesh, P(None, axis))
+        seg = jax.jit(
+            partial(segment_frames, self.model_apply, self.cfg),
+            in_shardings=(rep, frame_sh),
+            out_shardings=frame_sh,
+        )
+        seg_objs = jax.jit(
+            jax.vmap(
+                partial(segment_frames, self.model_apply, self.cfg),
+                in_axes=(0, None),
+            ),
+            in_shardings=(rep, frame_sh),
+            out_shardings=obj_frame_sh,
+        )
+
+        def pad_call(f, params, frames, out_frame_axis):
+            t = frames.shape[0]
+            pad = (-t) % n
+            if pad:  # replicate the last frame up to a full shard multiple
+                tail = jnp.broadcast_to(
+                    frames[-1:], (pad,) + tuple(frames.shape[1:])
+                )
+                frames = jnp.concatenate([frames, tail], axis=0)
+            out = f(params, frames)
+            return out[:t] if out_frame_axis == 0 else out[:, :t]
+
+        self._jit_seg = partial(pad_call, seg, out_frame_axis=0)
+        self._jit_seg_objs = partial(pad_call, seg_objs, out_frame_axis=1)
+        self._jit_seg_objs_w = self._jit_seg_objs
 
     # ---- per-sequence driver (host loop over OnA windows) ----
 

@@ -1,0 +1,93 @@
+"""e-OSVOS-100-OnA benchmark row — the reference's highest-J configuration.
+
+Same methodology as bench.py (timed region = fine-tune + OnA + inference per
+sequence, uint8 mask transfer as the barrier, 67-frame 480p sequences), with
+the 100-step initial fine-tune (README.md:88-93 row 4; reference anchor
+0.29 fps, src/visualization.ipynb cell 3).
+
+Prints ONE json line like bench.py.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+BASELINE_FPS = 0.29  # e-OSVOS-100-OnA on V100 (BASELINE.md)
+
+
+def main():
+    from e_osvos_tpu.data.synthetic import SyntheticVOSIndex
+    from e_osvos_tpu.data.transforms import AugmentConfig
+    from e_osvos_tpu.engine import OneShotConfig, OneShotEvaluator
+    from e_osvos_tpu.meta_optim import MetaOptimConfig, init_meta_params
+    from e_osvos_tpu.models import DeepLabV3Plus
+
+    H, W, T = 480, 854, 67
+
+    model = DeepLabV3Plus(
+        num_classes=1, arch="resnet50", backbone_norm="frozen_bn",
+        output_stride=16, dtype=jnp.bfloat16,
+    )
+    params = model.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, H, W, 3), jnp.float32)
+    )
+    meta_cfg = MetaOptimConfig(
+        lr_hierarchy_level="neuron", init_lr=1e-3,
+        learn_model_init=True, use_log_init_lr=False,
+    )
+    meta_params = init_meta_params(meta_cfg, params)
+
+    # e-OSVOS-100-OnA: 100 init epochs, OnA every 5 frames x 10 epochs
+    cfg = OneShotConfig(
+        num_epochs=100,
+        batch_size=3,
+        loss_func="dice",
+        online_adapt_step=5,
+        online_adapt_epochs=10,
+        online_adapt_min_prop=0.75,
+        augment=AugmentConfig(),
+    )
+    evaluator = OneShotEvaluator(model.apply, meta_cfg, cfg)
+    index = SyntheticVOSIndex(
+        num_sequences=2, num_frames=T, size=(H, W), num_objects=1, seed=0
+    )
+    key = jax.random.PRNGKey(0)
+
+    def run_seq(name):
+        seq = index.sequences[name]
+        frames = jnp.asarray(
+            np.stack([index.get_image(name, t) for t in range(len(seq))])
+        )
+        probs = evaluator._eval_object_group(
+            index, seq, frames, seq.object_groups[0], meta_params, key, None
+        )
+        mask = (probs >= evaluator.cfg.threshold).astype(jnp.uint8)
+        return np.asarray(mask)
+
+    run_seq("seq00")  # warmup / compile
+    best = float("inf")
+    for _ in range(2):
+        t0 = time.perf_counter()
+        run_seq("seq01")
+        best = min(best, time.perf_counter() - t0)
+
+    fps = T / best
+    print(
+        json.dumps(
+            {
+                "metric": "fps_480p_e-OSVOS-100-OnA_incl_finetune",
+                "value": round(fps, 4),
+                "unit": "frames/sec",
+                "vs_baseline": round(fps / BASELINE_FPS, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -172,3 +172,59 @@ class TestObjectBatchedEval:
         res_s = ev_serial.eval_sequence(idx, "seq00", meta_params,
                                         jax.random.key(2))
         assert res_s["probs"].shape == (2, 5, 48, 48)
+
+
+class TestFrameParallelEval:
+    """Frame-axis-sharded inference (one_shot.py::_install_frame_sharding):
+    sharded over the 8-device CPU mesh must equal single-device, including
+    the pad-to-shard-multiple path and the full OnA sequence driver."""
+
+    def _setup(self):
+        model = tiny_model()
+        params = model.init(jax.random.key(0), jnp.zeros((1, 32, 32, 3)))
+        meta_cfg = MetaOptimConfig(init_lr=0.02)
+        cfg = OneShotConfig(num_epochs=2, batch_size=2, loss_func="dice",
+                            augment=MILD_AUG)
+        return model, params, meta_cfg, cfg
+
+    def test_sharded_segmentation_matches_single_device(self):
+        from e_osvos_tpu.parallel import make_mesh
+
+        model, params, meta_cfg, cfg = self._setup()
+        ev = OneShotEvaluator(lambda p, x: model.apply(p, x), meta_cfg, cfg)
+        evs = OneShotEvaluator(lambda p, x: model.apply(p, x), meta_cfg, cfg,
+                               mesh=make_mesh())
+        # T=6 is not a multiple of 8 devices — exercises the padding path
+        frames = jnp.asarray(
+            np.random.RandomState(0).rand(6, 32, 32, 3) * 255, jnp.float32
+        )
+        ref = np.asarray(ev._jit_seg(params, frames))
+        shd = np.asarray(evs._jit_seg(params, frames))
+        assert shd.shape == ref.shape == (6, 32, 32)
+        np.testing.assert_allclose(shd, ref, rtol=1e-5, atol=1e-5)
+
+        # object-batched variant: [O,T,H,W]
+        params_o = jax.tree_util.tree_map(
+            lambda x: jnp.stack([x, x * 1.01]), params
+        )
+        ref_o = np.asarray(ev._jit_seg_objs(params_o, frames))
+        shd_o = np.asarray(evs._jit_seg_objs(params_o, frames))
+        assert shd_o.shape == ref_o.shape == (2, 6, 32, 32)
+        np.testing.assert_allclose(shd_o, ref_o, rtol=1e-5, atol=1e-5)
+
+    def test_full_sequence_eval_matches(self):
+        from e_osvos_tpu.parallel import make_mesh
+
+        model, params, meta_cfg, cfg = self._setup()
+        meta_params = init_meta_params(meta_cfg, params)
+        idx = SyntheticVOSIndex(
+            num_sequences=1, num_frames=5, size=(32, 32), num_objects=1,
+            seed=4,
+        )
+        ev = OneShotEvaluator(lambda p, x: model.apply(p, x), meta_cfg, cfg)
+        evs = OneShotEvaluator(lambda p, x: model.apply(p, x), meta_cfg, cfg,
+                               mesh=make_mesh())
+        r1 = ev.eval_sequence(idx, "seq00", meta_params, jax.random.key(5))
+        r2 = evs.eval_sequence(idx, "seq00", meta_params, jax.random.key(5))
+        np.testing.assert_array_equal(r1["merged"], r2["merged"])
+        np.testing.assert_allclose(r1["J_mean"], r2["J_mean"], rtol=1e-6)
