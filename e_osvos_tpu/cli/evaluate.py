@@ -94,6 +94,16 @@ def main(argv=None):
     all_j, all_f = [], []
     for index in indexes:
         for name, seq in index.sequences.items():
+            if cfg.get("eval_init_j") and hasattr(
+                evaluator, "eval_sequence_init"
+            ):
+                # pre-fine-tune baseline J (reference init_J,
+                # evaluate.py:123-127)
+                r0 = evaluator.eval_sequence_init(
+                    index, name, meta_params,
+                    init_params=selector.select(name) if selector else None,
+                )
+                logger.log("init_eval_seq", **r0)
             timer.start("seq")
             res = evaluator.eval_sequence(
                 index, name, meta_params,

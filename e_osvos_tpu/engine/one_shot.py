@@ -343,12 +343,25 @@ class OneShotEvaluator:
                 obj_probs.append(p)
             probs = jnp.stack(obj_probs)  # [O,T,H,W]
         merged = merge_objects(probs, self.cfg.threshold)  # [T,H,W]
+        j_means, f_means = self._score_merged(index, seq_name, seq, merged)
+        return {
+            "seq": seq_name,
+            "merged": np.asarray(merged),
+            "probs": np.asarray(probs),
+            "J_per_object": j_means,
+            "F_per_object": f_means,
+            "J_mean": float(np.nanmean(j_means)) if j_means else float("nan"),
+            "F_mean": float(np.nanmean(f_means)) if f_means else float("nan"),
+        }
 
-        # J/F against available GT (skip frame 0 per DAVIS protocol and
-        # frames without annotations)
+    def _score_merged(
+        self, index, seq_name: str, seq, merged: Array
+    ) -> Tuple[List[float], List[float]]:
+        """Per-object J/F of a merged label map against available GT (skip
+        frame 0 per DAVIS protocol and frames without annotations)."""
         j_per_obj: List[List[float]] = [[] for _ in seq.object_groups]
         f_per_obj: List[List[float]] = [[] for _ in seq.object_groups]
-        for t in range(1, T):
+        for t in range(1, len(seq)):
             gt = index.get_label(seq_name, t)
             if gt is None:
                 continue
@@ -364,17 +377,37 @@ class OneShotEvaluator:
                 )
                 j_per_obj[gi].append(float(j))
                 f_per_obj[gi].append(float(f))
-
         j_means = [float(np.mean(js)) if js else float("nan") for js in j_per_obj]
         f_means = [float(np.mean(fs)) if fs else float("nan") for fs in f_per_obj]
+        return j_means, f_means
+
+    def eval_sequence_init(
+        self,
+        index,
+        seq_name: str,
+        meta_params: MetaParams,
+        init_params: Any = None,
+    ) -> Dict[str, Any]:
+        """J/F of the raw (un-fine-tuned) initialization over a sequence —
+        the reference's ``init_J`` baseline curve (evaluate.py:123-127),
+        logged once per eval run to show what one-shot adaptation adds.
+        Multi-object caveat as in the reference: without adaptation the
+        model cannot separate objects, so ties go to the first group."""
+        from e_osvos_tpu.data.loader import load_frames
+
+        seq = index.sequences[seq_name]
+        frames_j = jnp.asarray(load_frames(index, seq_name))
+        params = init_params if init_params is not None else meta_params.model_init
+        probs = self._jit_seg(params, frames_j)  # [T,H,W]
+        probs_o = jnp.broadcast_to(
+            probs[None], (len(seq.object_groups),) + tuple(probs.shape)
+        )
+        merged = merge_objects(probs_o, self.cfg.threshold)
+        j_means, f_means = self._score_merged(index, seq_name, seq, merged)
         return {
             "seq": seq_name,
-            "merged": np.asarray(merged),
-            "probs": np.asarray(probs),
-            "J_per_object": j_means,
-            "F_per_object": f_means,
-            "J_mean": float(np.nanmean(j_means)) if j_means else float("nan"),
-            "F_mean": float(np.nanmean(f_means)) if f_means else float("nan"),
+            "init_J_mean": float(np.nanmean(j_means)) if j_means else float("nan"),
+            "init_F_mean": float(np.nanmean(f_means)) if f_means else float("nan"),
         }
 
     def _eval_objects_batched(

@@ -228,3 +228,27 @@ class TestFrameParallelEval:
         r2 = evs.eval_sequence(idx, "seq00", meta_params, jax.random.key(5))
         np.testing.assert_array_equal(r1["merged"], r2["merged"])
         np.testing.assert_allclose(r1["J_mean"], r2["J_mean"], rtol=1e-6)
+
+
+class TestInitJ:
+    def test_eval_sequence_init_reports_baseline(self):
+        """init_J (reference evaluate.py:123-127): J/F of the raw init."""
+        idx = SyntheticVOSIndex(
+            num_sequences=1, num_frames=4, size=(32, 32), num_objects=1,
+            seed=6,
+        )
+        model = tiny_model()
+        params = model.init(jax.random.key(0), jnp.zeros((1, 32, 32, 3)))
+        meta_cfg = MetaOptimConfig(init_lr=0.02)
+        meta_params = init_meta_params(meta_cfg, params)
+        cfg = OneShotConfig(num_epochs=2, batch_size=2, loss_func="dice",
+                            augment=MILD_AUG)
+        ev = OneShotEvaluator(lambda p, x: model.apply(p, x), meta_cfg, cfg)
+        res = ev.eval_sequence_init(idx, "seq00", meta_params)
+        assert res["seq"] == "seq00"
+        assert np.isfinite(res["init_J_mean"])
+        assert np.isfinite(res["init_F_mean"])
+        # explicit init_params override takes precedence over the meta init
+        res2 = ev.eval_sequence_init(idx, "seq00", meta_params,
+                                     init_params=params)
+        assert np.isfinite(res2["init_J_mean"])
