@@ -58,7 +58,23 @@ def main(argv=None):
         evaluator = build_evaluator(cfg, model)
         index = val_indexes[0]
 
+        init_j_done = []  # init_J logs once, at the first interleaved eval
+
         def eval_fn(meta_params, meta_iter):
+            import numpy as np
+
+            out = {}
+            if not init_j_done and hasattr(evaluator, "eval_sequence_init"):
+                # pre-fine-tune baseline, once per run (the reference logs
+                # init_J from its eval workers, evaluate.py:123-127)
+                init_js = [
+                    evaluator.eval_sequence_init(index, name, meta_params)[
+                        "init_J_mean"
+                    ]
+                    for name in index.sequences
+                ]
+                out["init_J_mean"] = float(np.nanmean(init_js))
+                init_j_done.append(True)
             results = [
                 evaluator.eval_sequence(
                     index, name, meta_params, jax.random.PRNGKey(meta_iter)
@@ -67,13 +83,12 @@ def main(argv=None):
             ]
             js = [r["J_mean"] for r in results]
             fs = [r["F_mean"] for r in results]
-            import numpy as np
-
-            return {
+            out.update({
                 "J_mean": float(np.nanmean(js)),
                 "F_mean": float(np.nanmean(fs)),
                 "per_seq_J": {r["seq"]: r["J_mean"] for r in results},
-            }
+            })
+            return out
 
     trainer = MetaTrainer(
         model_apply=model.apply,

@@ -270,3 +270,44 @@ class TestCliEndToEnd:
                 "num_epochs.eval=1",
                 f"save_dir={tmp_path}/eval2",
             ])
+
+
+class TestInterleavedEval:
+    def test_train_meta_with_eval_interval(self, tmp_path):
+        """The interleaved eval hook (meta_trainer.py eval_fn, reference's
+        concurrent eval workers train_meta.py:175-186): eval_interval=1 must
+        produce an 'eval' metrics row with J_mean, per-sequence Js, and the
+        once-per-run init_J baseline."""
+        import json
+
+        from e_osvos_tpu.cli import train_meta as tm_cli
+
+        argv = [
+            "with", "Synthetic",
+            "parent_model.architecture=DeepLabV3",
+            "parent_model.encoder=resnet10",
+            "parent_model.backbone_norm=group4",
+            "parent_model.decoder_norm_layer=group4",
+            "parent_model.dtype=float32",
+            "meta_batch_size=8",
+            "num_meta_iters=2",
+            "num_epochs.train=2",
+            "num_epochs.eval=2",
+            "bptt_epochs=2",
+            "data_cfg.batch_sizes.train=2",
+            "vis_interval=1",
+            "eval_interval=1",
+            f"save_dir={tmp_path}",
+        ]
+        tm_cli.main(argv)
+        lines = [json.loads(l) for l in
+                 (tmp_path / "metrics.jsonl").read_text().splitlines()]
+        evals = [l for l in lines if l["event"] == "eval"]
+        assert evals, "eval_interval=1 must log eval rows"
+        assert "J_mean" in evals[0] and "per_seq_J" in evals[0]
+        # init_J logs exactly once (first eval), not on later evals
+        assert "init_J_mean" in evals[0]
+        assert all("init_J_mean" not in e for e in evals[1:])
+        # best-J checkpoint gating (reference evaluate.py:361-382)
+        assert (tmp_path / "best_meta_iter.ckpt").exists() or (
+            tmp_path / "last_meta_iter.ckpt").exists()
