@@ -330,6 +330,64 @@ class DetectionOneShotEvaluator:
         probs = jnp.stack(obj_probs)
         return self._score(index, seq_name, seq, T, probs)
 
+    def eval_sequence_init(
+        self,
+        index,
+        seq_name: str,
+        meta_params: MetaParams,
+        init_params: Any = None,
+    ) -> Dict[str, Any]:
+        """init_J for the detection path (reference evaluate.py:123-127):
+        the raw initialization tracks the sequence with the box-carry
+        proposal prior but NO fine-tune and NO online adaptation. Windows
+        reuse the same compiled `_jit_window` program as the adapted eval."""
+        from e_osvos_tpu.data.loader import load_frames
+
+        cfg = self.cfg
+        seq = index.sequences[seq_name]
+        T = len(seq)
+        frames = jnp.asarray(load_frames(index, seq_name))
+        K = self.model.roi.detections_per_img
+        params = init_params if init_params is not None else meta_params.model_init
+        if params is None:
+            raise ValueError(
+                "eval_sequence_init needs init_params when the meta "
+                "checkpoint has no learned model init"
+            )
+
+        obj_probs = []
+        for gi, group in enumerate(seq.object_groups):
+            sf = group.support_frame
+            gt = index.get_label(seq_name, sf)
+            label = jnp.asarray(binarize_label(gt, group.object_ids), jnp.int32)
+            boxes0, valid0 = masks_to_boxes(
+                (label == 1).astype(jnp.float32)[None]
+            )
+            boxes0 = jnp.tile(boxes0, (K, 1))[:K]
+            valid0 = jnp.tile(valid0, (K,))[:K]
+
+            probs = jnp.zeros((T,) + frames.shape[1:3], jnp.float32)
+            probs = probs.at[sf].set((label == 1).astype(jnp.float32))
+            step = cfg.online_adapt_step if cfg.online_adapt_step > 0 else T
+            start, boxes_c, valid_c, window_id = sf + 1, boxes0, valid0, 0
+            k_win = jax.random.fold_in(jax.random.PRNGKey(0), gi)
+            while start < T:
+                end = min(start + step, T)
+                k_run = jax.random.fold_in(k_win, window_id)
+                w_probs, _, _, boxes_c, valid_c = self._jit_window(
+                    params, frames[start:end], boxes_c, valid_c, k_run
+                )
+                probs = probs.at[start:end].set(w_probs)
+                start, window_id = end, window_id + 1
+            obj_probs.append(probs)
+
+        res = self._score(index, seq_name, seq, T, jnp.stack(obj_probs))
+        return {
+            "seq": seq_name,
+            "init_J_mean": res["J_mean"],
+            "init_F_mean": res["F_mean"],
+        }
+
     def _eval_objects_batched(
         self, index, seq, frames, meta_params: MetaParams, key, init_params
     ):

@@ -129,9 +129,16 @@ class TestDavisDiskEndToEnd:
             "parent_model.detections_per_img=2",
             "num_epochs.eval=1",
             "data_cfg.batch_sizes.train=1",
+            "eval_init_j=true",  # detection init_J baseline (evaluate.py:123-127)
         ])
         seqs, total = _read_metrics(tmp_path)
         assert set(seqs) == {"bear", "dogs"}
+        import json
+
+        rows = [json.loads(l) for l in
+                (tmp_path / "eval_metrics.jsonl").read_text().splitlines()]
+        init_rows = [r for r in rows if r["event"] == "init_eval_seq"]
+        assert {r["seq"] for r in init_rows} == {"bear", "dogs"}
         assert total and total[0]["num_sequences"] == 2
         for t in range(FRAMES):
             p = tmp_path / "preds" / "dogs" / f"{t:05d}.png"

@@ -379,3 +379,27 @@ class TestDetectionObjectBatched:
                                jax.random.PRNGKey(7))
         assert res["probs"].shape == (2, 4, SIZE, SIZE)
         assert np.isfinite(res["probs"]).all()
+
+
+class TestDetectionInitJ:
+    def test_eval_sequence_init(self, model_and_vars):
+        """init_J for the detection path: raw init + box-carry tracking,
+        no fine-tune (reference evaluate.py:123-127)."""
+        from e_osvos_tpu.data import SyntheticVOSIndex
+        from e_osvos_tpu.engine.one_shot_detection import (
+            DetectionOneShotConfig,
+            DetectionOneShotEvaluator,
+        )
+        from e_osvos_tpu.meta_optim import MetaOptimConfig, init_meta_params
+
+        model, variables = model_and_vars
+        meta_cfg = MetaOptimConfig(init_lr=1e-3, use_log_init_lr=False)
+        meta_params = init_meta_params(meta_cfg, variables)
+        cfg = DetectionOneShotConfig(num_epochs=2, batch_size=2,
+                                     online_adapt_step=2)
+        ev = DetectionOneShotEvaluator(model, meta_cfg, cfg)
+        idx = SyntheticVOSIndex(num_sequences=1, num_frames=4,
+                                size=(SIZE, SIZE), num_objects=1, seed=9)
+        res = ev.eval_sequence_init(idx, "seq00", meta_params)
+        assert res["seq"] == "seq00"
+        assert np.isfinite(res["init_J_mean"]) or np.isnan(res["init_J_mean"])
