@@ -169,6 +169,14 @@ class MetaTrainer:
                 )
                 last["lr_mean"] = float(jax.device_get(stats["mean"]))
                 last["lr_std"] = float(jax.device_get(stats["std"]))
+                # per-tensor init-lr means — the reference's per-parameter
+                # Visdom curves (visualize.py:107-118)
+                from e_osvos_tpu.meta_optim import lr_per_tensor
+
+                last["lr_per_tensor"] = lr_per_tensor(
+                    self.meta_params.log_init_lr,
+                    use_log=self.step.meta_cfg.use_log_init_lr,
+                )
                 self.logger.log("meta_train", step=self.meta_iter, **last)
                 self.save("last_meta_iter")
 

@@ -3,6 +3,7 @@
 from e_osvos_tpu.meta_optim.lr_tree import (  # noqa: F401
     clamp_lr_tree,
     init_lr_tree,
+    lr_per_tensor,
     lr_stats,
     mask_lrs_by_path,
     materialize_lrs,

@@ -138,3 +138,21 @@ def lr_stats(lr_tree: Any, use_log: bool = True) -> Dict[str, Array]:
         "min": jnp.min(flat),
         "max": jnp.max(flat),
     }
+
+
+def lr_per_tensor(lr_tree: Any, use_log: bool = True) -> Dict[str, float]:
+    """Mean materialized lr per parameter tensor, keyed by '/'-joined tree
+    path — the reference's per-tensor init-lr curves (visualize.py:107-118,
+    one Visdom legend entry per named parameter)."""
+    lrs = materialize_lrs(lr_tree, use_log)
+    flat = {}
+
+    def visit(node, prefix):
+        if isinstance(node, dict):
+            for k, v in node.items():
+                visit(v, f"{prefix}/{k}" if prefix else str(k))
+        else:
+            flat[prefix] = float(jnp.mean(node))
+
+    visit(lrs, "")
+    return flat

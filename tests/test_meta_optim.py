@@ -341,3 +341,17 @@ class TestFrozenCollections:
         mp = init_meta_params(cfg, variables)
         assert float(mp.log_init_lr["constants"]["scale"].max()) == 0.0
         assert float(mp.log_init_lr["params"]["w"].min()) == pytest.approx(0.1)
+
+
+class TestLrPerTensor:
+    def test_keys_and_values(self):
+        from e_osvos_tpu.meta_optim import init_lr_tree, lr_per_tensor
+
+        params = {"params": {"conv": {"kernel": jnp.zeros((3, 3, 2, 4))},
+                             "norm": {"scale": jnp.zeros((4,))}}}
+        lrs = init_lr_tree(params, hierarchy_level="neuron", init_lr=1e-3,
+                           use_log=True)
+        per = lr_per_tensor(lrs, use_log=True)
+        assert set(per) == {"params/conv/kernel", "params/norm/scale"}
+        for v in per.values():
+            np.testing.assert_allclose(v, 1e-3, rtol=1e-5)
