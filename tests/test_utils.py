@@ -146,3 +146,42 @@ class TestSubmissionPackaging:
             "Annotations/vid_a/00005.png",
             "Annotations/vid_b/00000.png",
         }
+
+
+class TestMakeReport:
+    def test_report_from_artifacts(self, tmp_path):
+        """scripts/make_report.py — the CLI analogue of the reference's
+        visualization.ipynb results figures."""
+        import json
+        import subprocess
+        import sys
+
+        repo = tmp_path / "repo"
+        repo.mkdir()
+        (repo / "BENCH_x.json").write_text(json.dumps([
+            {"metric": "fps_test", "value": 5.0, "unit": "frames/sec",
+             "vs_baseline": 14.3}]))
+        (repo / "BENCH_SWEEP.json").write_text(json.dumps([
+            {"T": 1, "s_per_frame": 0.05, "fps": 20.0,
+             "ref_s_per_frame": 0.14, "speedup_vs_ref": 2.8}]))
+        run = tmp_path / "run"
+        run.mkdir()
+        rows = [
+            {"event": "meta_train", "meta_loss": 1.0, "lr_mean": 1e-3,
+             "lr_std": 0.0, "lr_per_tensor": {"params/a/kernel": 1e-3}},
+            {"event": "eval", "J_mean": 0.5, "init_J_mean": 0.1},
+        ]
+        (run / "metrics.jsonl").write_text(
+            "\n".join(json.dumps(r) for r in rows))
+        out = tmp_path / "REPORT.md"
+        script = os.path.join(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))), "scripts", "make_report.py")
+        subprocess.run(
+            [sys.executable, script, "--repo", str(repo), "--run-dir",
+             str(run), "--out", str(out)],
+            check=True, env={**os.environ, "JAX_PLATFORMS": "cpu"},
+        )
+        text = out.read_text()
+        assert "fps_test" in text and "14.3" in text
+        assert "e-OSVOS-T runtime curve" in text
+        assert "init_J" in text and "per-tensor" in text
