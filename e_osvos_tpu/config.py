@@ -167,6 +167,9 @@ def to_meta_step_config(cfg: Dict) -> MetaStepConfig:
         remat=bool(cfg.get("remat", True)),
         augment=to_augment_config(cfg),
         random_box_coord_perm=bool(cfg.get("random_box_coord_perm", False)),
+        frame_transform_per_task=bool(
+            cfg.get("random_frame_transform_per_task", False)
+        ),
     )
 
 

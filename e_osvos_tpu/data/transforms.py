@@ -222,18 +222,21 @@ def affine_warp_packed(
 
 
 def scale_rotate_flip_matrix(
-    key: Array, cfg: AugmentConfig
+    key: Array, cfg: AugmentConfig, flip: Optional[Array] = None
 ) -> Array:
     """Sample a combined inverse scale+rotate+flip matrix (pixel units,
     centered). The forward transform scales by s and rotates by θ; the
     sampling (inverse) matrix is R(-θ)/s, with an x-axis sign flip folded in.
+    ``flip`` optionally overrides the flip decision (bool scalar) — used by
+    the per-task deterministic mode where one flip is shared across frames.
     """
     k_s, k_r, k_f = jax.random.split(key, 3)
     s = jax.random.uniform(k_s, (), minval=cfg.scale_min, maxval=cfg.scale_max)
     theta = jax.random.uniform(
         k_r, (), minval=-cfg.rot_deg, maxval=cfg.rot_deg
     ) * (jnp.pi / 180.0)
-    flip = jax.random.bernoulli(k_f, cfg.flip_prob)
+    if flip is None:
+        flip = jax.random.bernoulli(k_f, cfg.flip_prob)
     fx = jnp.where(flip, -1.0, 1.0)
     cos = jnp.cos(theta) / s
     sin = jnp.sin(theta) / s
@@ -277,17 +280,24 @@ def augment_frame(
     img: Array,
     label: Array,
     cfg: Optional[AugmentConfig] = None,
+    color_key: Optional[Array] = None,
+    flip: Optional[Array] = None,
 ) -> Tuple[Array, Array]:
     """Full per-frame augmentation: color jitter → one fused
     scale/rotate/flip warp. ``img`` is [H,W,3] in [0,255] (pre-normalize),
     ``label`` is [H,W]. Warped-in border pixels get label 255 (ignore), the
     convention the losses' ``valid`` masks consume — the reference instead
     retries warps that lose labels (custom_transforms.py:52-57); masking is
-    the static-shape equivalent."""
+    the static-shape equivalent.
+
+    ``color_key``/``flip`` optionally share the color-jitter draw and flip
+    decision across frames (the per-task deterministic transform mode)."""
     cfg = cfg or AugmentConfig()
     k_color, k_geom = jax.random.split(key)
+    if color_key is not None:
+        k_color = color_key
     dtype = jnp.dtype(cfg.compute_dtype)
-    matrix = scale_rotate_flip_matrix(k_geom, cfg)
+    matrix = scale_rotate_flip_matrix(k_geom, cfg, flip=flip)
     # warp FIRST via the packed single-gather kernel, then jitter: the
     # jitter is pointwise-linear so it commutes with the bilinear blend
     # (contrast anchored on the pre-warp mean, matching jitter-then-warp
@@ -316,6 +326,44 @@ def augment_support_batch(
     ([B,H,W,3], [B,H,W])."""
     keys = jax.random.split(key, batch_size)
     return jax.vmap(lambda k: augment_frame(k, img, label, cfg))(keys)
+
+
+def augment_task_frames(
+    key: Array,
+    support_img: Array,
+    support_label: Array,
+    query_imgs: Array,
+    query_labels: Array,
+    cfg: Optional[AugmentConfig] = None,
+) -> Tuple[Array, Array, Array, Array]:
+    """Per-task deterministic augmentation, matching the reference's
+    ``random_frame_transform_per_task`` meta-training mode
+    (meta_tasksets.py:109-136): the train and meta loaders share the SAME
+    transform instances, whose deterministic mode draws ONE flip decision
+    (custom_transforms.py:188-196) and ONE color-jitter parameter set
+    (custom_transforms.py:134-141) per task, while the scale/rotate draw is
+    cached per file_name (custom_transforms.py:58-87) — i.e. one geometric
+    warp per FRAME, identical across inner epochs and batch replicas.
+
+    Args: support [H,W,3]/[H,W], queries [Q,H,W,3]/[Q,H,W] (all [0,255]
+    pre-normalize). Returns the augmented (support_img, support_label,
+    query_imgs, query_labels) with the support augmented once — the caller
+    reuses it for every inner epoch, the static-shape equivalent of the
+    reference's per-file transform cache."""
+    k_flip, k_color, k_geom = jax.random.split(key, 3)
+    flip = jax.random.bernoulli(k_flip, (cfg or AugmentConfig()).flip_prob)
+    s_img, s_label = augment_frame(
+        jax.random.fold_in(k_geom, 0), support_img, support_label, cfg,
+        color_key=k_color, flip=flip,
+    )
+    q = jnp.arange(1, query_imgs.shape[0] + 1)
+    q_img, q_label = jax.vmap(
+        lambda i, im, lb: augment_frame(
+            jax.random.fold_in(k_geom, i), im, lb, cfg,
+            color_key=k_color, flip=flip,
+        )
+    )(q, query_imgs, query_labels)
+    return s_img, s_label, q_img, q_label
 
 
 def pad_to(img: Array, label: Array, size: Tuple[int, int]) -> Tuple[Array, Array, Array]:

@@ -64,6 +64,17 @@ class MetaStepConfig:
     train_batch_size: int = 3
     loss_func: str = "dice"
     normalize_mode: str = "davis"
+    # reference random_frame_transform_per_task (cfgs/meta.yaml:18, default
+    # True upstream): ONE deterministic augmentation per task — the support
+    # frame is warped once and reused for every inner epoch (the per-file
+    # transform cache, custom_transforms.py:58-87), query frames get their
+    # own per-frame warp with the flip/color draws shared task-wide, and the
+    # support batch collapses to 1 (the reference's batch_sizes.train=1
+    # meta default; identical replicas are mathematically redundant for
+    # every loss up to the dice smoothing constant). False = this
+    # framework's richer mode: fresh independent augmentations per replica
+    # and per inner step, un-augmented queries.
+    frame_transform_per_task: bool = False
     # remat the inner steps (jax.checkpoint) — required for 480p BPTT memory,
     # off for small-shape tests where compile time dominates
     remat: bool = True
@@ -274,19 +285,49 @@ class MetaStep:
                 ).astype(jnp.int32)
             else:
                 perm = jnp.arange(4, dtype=jnp.int32)
-            train_batches = (
-                keys,
-                jnp.broadcast_to(s_img, (step_cfg.num_epochs,) + s_img.shape),
-                jnp.broadcast_to(s_label, (step_cfg.num_epochs,) + s_label.shape),
-                jnp.broadcast_to(perm, (step_cfg.num_epochs, 4)),
-            )
+            if step_cfg.frame_transform_per_task:
+                # one augmentation per task (support reused every epoch,
+                # queries augmented with shared flip/color): the inner train
+                # fn sees PRE-augmented [1,H,W,*] batches, so it is the
+                # query fn (normalize + loss, no augmentation)
+                a_img, a_label, aq_imgs, aq_labels = transforms.augment_task_frames(
+                    jax.random.fold_in(key, 0x7A),
+                    s_img.astype(jnp.float32),
+                    s_label,
+                    q_imgs.astype(jnp.float32),
+                    q_labels,
+                    step_cfg.augment,
+                )
+                sup_imgs = a_img[None]
+                sup_labels = a_label[None].astype(jnp.int32)
+                train_batches = (
+                    keys,
+                    jnp.broadcast_to(
+                        sup_imgs, (step_cfg.num_epochs,) + sup_imgs.shape
+                    ),
+                    jnp.broadcast_to(
+                        sup_labels, (step_cfg.num_epochs,) + sup_labels.shape
+                    ),
+                    jnp.broadcast_to(perm, (step_cfg.num_epochs, 4)),
+                )
+                inner_train_fn = query_loss_fn
+                query_batch = (q_key, aq_imgs, aq_labels.astype(jnp.int32), perm)
+            else:
+                train_batches = (
+                    keys,
+                    jnp.broadcast_to(s_img, (step_cfg.num_epochs,) + s_img.shape),
+                    jnp.broadcast_to(s_label, (step_cfg.num_epochs,) + s_label.shape),
+                    jnp.broadcast_to(perm, (step_cfg.num_epochs, 4)),
+                )
+                inner_train_fn = train_loss_fn
+                query_batch = (q_key, q_imgs, q_labels, perm)
             loss, grads, tr_losses = meta_grads(
                 meta_cfg,
-                train_loss_fn,
+                inner_train_fn,
                 query_loss_fn,
                 meta_params,
                 train_batches,
-                (q_key, q_imgs, q_labels, perm),
+                query_batch,
                 bptt_epochs=step_cfg.bptt_epochs,
                 remat=step_cfg.remat,
             )

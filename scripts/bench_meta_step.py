@@ -46,31 +46,46 @@ def main():
         [index], MetaTasksetConfig(num_query_frames=1, crop_size=(480, 480)),
         seed=0,
     )
-    trainer = MetaTrainer(
-        model_apply=model.apply,
-        init_params=params,
-        taskset=taskset,
-        meta_cfg=MetaOptimConfig(lr_hierarchy_level="neuron", init_lr=1e-3,
-                                 learn_model_init=True, use_log_init_lr=False),
-        step_cfg=MetaStepConfig(num_epochs=5, bptt_epochs=5,
-                                train_batch_size=3,
-                                augment=AugmentConfig()),
-        outer_cfg=OuterOptimConfig(),
-        train_cfg=MetaTrainConfig(meta_batch_size=4, num_meta_iters=1,
-                                  vis_interval=10_000),
-        mesh=mesh,
-        logger=MetricsLogger(echo=False),
-    )
-    out = trainer.run(1)  # compile + first step
-    print("first step done, meta_loss:", float(out["meta_loss"]), flush=True)
-    best = float("inf")
-    for _ in range(3):
-        t0 = time.perf_counter()
-        out = trainer.run(1)
-        _ = float(out["meta_loss"])  # device→host barrier
-        best = min(best, time.perf_counter() - t0)
-    print(f"meta step: {best:.3f} s (4 tasks x 5-step BPTT, 480^2, "
-          f"{n_dev} device(s))", flush=True)
+
+    def measure(step_cfg, tag):
+        trainer = MetaTrainer(
+            model_apply=model.apply,
+            init_params=params,
+            taskset=taskset,
+            meta_cfg=MetaOptimConfig(lr_hierarchy_level="neuron",
+                                     init_lr=1e-3, learn_model_init=True,
+                                     use_log_init_lr=False),
+            step_cfg=step_cfg,
+            outer_cfg=OuterOptimConfig(),
+            train_cfg=MetaTrainConfig(meta_batch_size=4, num_meta_iters=1,
+                                      vis_interval=10_000),
+            mesh=mesh,
+            logger=MetricsLogger(echo=False),
+        )
+        out = trainer.run(1)  # compile + first step
+        print(f"[{tag}] first step done, meta_loss:",
+              float(out["meta_loss"]), flush=True)
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            out = trainer.run(1)
+            _ = float(out["meta_loss"])  # device→host barrier
+            best = min(best, time.perf_counter() - t0)
+        print(f"[{tag}] meta step: {best:.3f} s (4 tasks x 5-step BPTT, "
+              f"480^2, {n_dev} device(s))", flush=True)
+
+    # this framework's rich mode: 3 independent support augmentations per
+    # inner step, un-augmented queries
+    measure(MetaStepConfig(num_epochs=5, bptt_epochs=5, train_batch_size=3,
+                           augment=AugmentConfig()),
+            "per-step batch3")
+    # reference-parity mode (random_frame_transform_per_task=True +
+    # batch_sizes.train=1, the upstream meta defaults): support augmented
+    # once per task, queries augmented with shared flip/color
+    measure(MetaStepConfig(num_epochs=5, bptt_epochs=5, train_batch_size=1,
+                           augment=AugmentConfig(),
+                           frame_transform_per_task=True),
+            "per-task batch1")
 
 
 if __name__ == "__main__":

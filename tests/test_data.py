@@ -75,6 +75,54 @@ class TestTransforms:
         assert labels.shape == (3, 16, 16)
         assert not np.allclose(np.asarray(imgs[0]), np.asarray(imgs[1]))
 
+    def test_task_frames_share_flip_and_color(self):
+        """Per-task deterministic mode (reference
+        random_frame_transform_per_task, meta_tasksets.py:109-136): one flip
+        decision and one color-jitter draw shared by support and queries."""
+        rng = np.random.RandomState(3)
+        # values <= 180 so a 1.3x brightness never clips at 255 (clipping
+        # would make the recovered per-frame factor content-dependent)
+        img = jnp.asarray(rng.randint(1, 180, (16, 16, 3)), jnp.float32)
+        q_imgs = jnp.asarray(rng.randint(1, 180, (2, 16, 16, 3)), jnp.float32)
+        label = jnp.asarray(rng.randint(0, 2, (16, 16)), jnp.int32)
+        q_labels = jnp.asarray(rng.randint(0, 2, (2, 16, 16)), jnp.int32)
+        # geometry off, flip forced on: every frame must be exactly flipped
+        # + identically color-jittered
+        cfg = transforms.AugmentConfig(
+            scale_min=1.0, scale_max=1.0, rot_deg=0.0, flip_prob=1.0,
+            brightness=0.3, contrast=0.0, saturation=0.0,
+        )
+        s_i, s_l, q_i, q_l = transforms.augment_task_frames(
+            jax.random.key(5), img, label, q_imgs, q_labels, cfg
+        )
+        np.testing.assert_array_equal(np.asarray(s_l), np.asarray(label[:, ::-1]))
+        np.testing.assert_array_equal(np.asarray(q_l), np.asarray(q_labels[:, :, ::-1]))
+        # shared brightness factor: recover it per frame, must be identical
+        b_s = float(jnp.sum(s_i) / jnp.sum(img))
+        b_q0 = float(jnp.sum(q_i[0]) / jnp.sum(q_imgs[0]))
+        b_q1 = float(jnp.sum(q_i[1]) / jnp.sum(q_imgs[1]))
+        assert abs(b_s - b_q0) < 1e-3 and abs(b_s - b_q1) < 1e-3
+        assert abs(b_s - 1.0) > 1e-3  # jitter actually applied
+
+    def test_task_frames_geometry_varies_per_frame(self):
+        """The scale/rotate draw is per frame (reference caches per
+        file_name), so two query frames of the same content must warp
+        differently while flip/color stay shared."""
+        img = jnp.asarray(
+            np.random.RandomState(4).randint(0, 255, (16, 16, 3)), jnp.float32
+        )
+        q_imgs = jnp.stack([img, img])
+        label = jnp.zeros((16, 16), jnp.int32)
+        q_labels = jnp.zeros((2, 16, 16), jnp.int32)
+        cfg = transforms.AugmentConfig(
+            scale_min=0.6, scale_max=1.4, rot_deg=30.0, flip_prob=0.0,
+            brightness=0.0, contrast=0.0, saturation=0.0,
+        )
+        _, _, q_i, _ = transforms.augment_task_frames(
+            jax.random.key(2), img, label, q_imgs, q_labels, cfg
+        )
+        assert not np.allclose(np.asarray(q_i[0]), np.asarray(q_i[1]))
+
     def test_determinism_same_key(self):
         img = jnp.ones((8, 8, 3)) * 50
         label = jnp.zeros((8, 8), jnp.int32)

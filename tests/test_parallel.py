@@ -200,6 +200,43 @@ class TestShardedMetaStep:
         np.testing.assert_allclose(np.asarray(l0), np.asarray(l1),
                                    rtol=1e-4, atol=1e-7)
 
+    def test_frame_transform_per_task_mode(self, setup):
+        """Reference-parity per-task augmentation: support augmented once
+        (effective train batch 1), queries augmented with shared flip/color
+        (meta.yaml random_frame_transform_per_task, default True upstream).
+        The step must run, move meta-params, and differ from per-step mode."""
+        model, params, _, taskset = setup
+        mesh = make_mesh(num_tasks=2)
+        meta_cfg = MetaOptimConfig(init_lr=1e-3, use_log_init_lr=False)
+        outer = OuterOptimConfig(model_init_lr=1e-4, log_init_lr_lr=1e-4)
+        batch_np = taskset.sample_batch(2)
+        outs = []
+        for per_task in (True, False):
+            step = make_meta_step(
+                model.apply,
+                meta_cfg,
+                MetaStepConfig(num_epochs=2, bptt_epochs=2,
+                               train_batch_size=2, remat=False, augment=MILD,
+                               frame_transform_per_task=per_task),
+                outer,
+                mesh,
+                meta_batch_size=2,
+            )
+            mp = init_meta_params(meta_cfg, params)
+            opt_state = step.init(mp)
+            out = step(mp, opt_state, shard_task_batch(mesh, batch_np))
+            assert np.isfinite(float(out.meta_loss))
+            outs.append(out)
+        before = jax.tree_util.tree_leaves(
+            init_meta_params(meta_cfg, params).log_init_lr
+        )[0]
+        after = jax.tree_util.tree_leaves(outs[0].meta_params.log_init_lr)[0]
+        assert not np.allclose(np.asarray(before), np.asarray(after))
+        # different augmentation semantics -> different meta objective
+        assert float(outs[0].meta_loss) != pytest.approx(
+            float(outs[1].meta_loss)
+        )
+
     def test_divisibility_assert(self, setup):
         model, params, _, _ = setup
         mesh = make_mesh(num_tasks=8)
