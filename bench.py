@@ -21,8 +21,13 @@ import json
 import time
 
 import jax
-import jax.numpy as jnp
-import numpy as np
+
+# Persistent compile cache (shared with scripts/): the 480p one-shot programs
+# take minutes to compile over the TPU tunnel; warm runs start instantly.
+jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_bench_cache")
+
+import jax.numpy as jnp  # noqa: E402
+import numpy as np  # noqa: E402
 
 BASELINE_FPS = 0.35  # e-OSVOS-50-OnA on V100 (BASELINE.md)
 
