@@ -125,6 +125,18 @@ def build_indexes(cfg: Dict, role: str = "train") -> List:
             )
         elif name == "YouTube-VOS":
             indexes.append(YouTubeVOSIndex(root, split=split, multi_object=mode))
+        elif name == "VOC2012":
+            # parent pre-training alternative (pascal_voc.py; binary fg/bg);
+            # pair with the VOC2012 named config for the reference's
+            # flip/scale-crop/blur augmentation stack
+            from e_osvos_tpu.data.voc import VOC2012Index
+
+            indexes.append(
+                VOC2012Index(
+                    root, split=split or "train",
+                    void=str(cfg.get("voc", {}).get("void", "background")),
+                )
+            )
         elif name == "Synthetic":
             # in-memory moving-squares fixture (data/synthetic.py) — lets the
             # full CLI run end-to-end without datasets on disk

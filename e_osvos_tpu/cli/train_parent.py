@@ -37,6 +37,9 @@ def to_parent_config(cfg) -> ParentTrainConfig:
         optimizer=str(p.get("optimizer", "adam")),
         loss_func=str(p.get("loss_func", cfg.get("loss_func", "cross_entropy_and_dice"))),
         crop_size=tuple(crop),
+        normalize_mode=(
+            "unit" if cfg.get("data_cfg", {}).get("normalize") else "davis"
+        ),
         log_interval=int(p.get("log_interval", 50)),
         snapshot_interval=int(p.get("snapshot_interval", 1000)),
         save_dir=cfg.get("save_dir"),

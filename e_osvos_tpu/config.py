@@ -148,7 +148,7 @@ def to_augment_config(cfg: Dict) -> AugmentConfig:
         k: c[k]
         for k in (
             "scale_min scale_max rot_deg brightness contrast saturation "
-            "flip_prob".split()
+            "flip_prob trans_frac blur_prob blur_sigma_max".split()
         )
         if k in c
     }

@@ -51,9 +51,31 @@ class AugmentConfig:
     contrast: float = 0.1
     saturation: float = 0.1
     flip_prob: float = 0.5
+    # random translation as a fraction of the frame size, folded into the
+    # one affine warp (the VOC RandomScaleCrop crop-offset equivalent,
+    # pascal_voc.py:202-236); 0 = off (the VOS paths translate via the
+    # host-side random crop instead)
+    trans_frac: float = 0.0
+    # PIL-style RandomGaussianBlur (pascal_voc.py:190-199): with probability
+    # blur_prob, blur with sigma ~ U[0, blur_sigma_max)
+    blur_prob: float = 0.0
+    blur_sigma_max: float = 1.0
     # gather/arith dtype for the warp: TPU gathers are element-bound, so
     # bf16 halves the traffic; augmentation tolerates the precision easily
     compute_dtype: str = "bfloat16"
+
+
+# The reference's VOC parent-training augmentation stack
+# (pascal_voc.py:86-96): flip 0.5, short-edge scale in [0.5, 2.0] + random
+# crop (→ trans_frac), gaussian blur p=0.5 radius U[0,1). Color jitter is
+# absent from that stack. Pair with ``normalize(mode="unit")``
+# (pascal_voc.py:115-135 divides by 255 only — the mean/std lines are
+# commented out upstream).
+VOC_PARENT_AUGMENT = AugmentConfig(
+    scale_min=0.5, scale_max=2.0, rot_deg=0.0,
+    brightness=0.0, contrast=0.0, saturation=0.0,
+    flip_prob=0.5, trans_frac=0.25, blur_prob=0.5, blur_sigma_max=1.0,
+)
 
 
 def normalize(img: Array, mode: str = "davis") -> Array:
@@ -275,6 +297,39 @@ def color_jitter(
     return jnp.clip(img, 0.0, 255.0)
 
 
+def gaussian_blur(
+    key: Array, img: Array, prob: float, sigma_max: float, taps: int = 7
+) -> Array:
+    """RandomGaussianBlur on device (pascal_voc.py:190-199): with
+    probability ``prob``, separable Gaussian blur with sigma ~ U[0,
+    sigma_max) (PIL's ``GaussianBlur(radius)`` treats the radius as the
+    standard deviation). Static ``taps``-wide kernel (7 taps = ±3σ at
+    σ=1), edge-replicate padding like PIL; the traced sigma only changes
+    tap weights, so one compiled program covers the whole sigma range."""
+    k_p, k_s = jax.random.split(key)
+    do = jax.random.bernoulli(k_p, prob)
+    sigma = jax.random.uniform(k_s, (), minval=0.0, maxval=sigma_max)
+    sigma = jnp.maximum(sigma, 1e-3)  # σ→0 degenerates to the identity tap
+    r = taps // 2
+    x = jnp.arange(-r, r + 1, dtype=jnp.float32)
+    kern = jnp.exp(-0.5 * jnp.square(x / sigma))
+    kern = kern / jnp.sum(kern)
+
+    c = img.shape[-1]
+    src = img.astype(jnp.float32)[None]  # NHWC
+    pad = jnp.pad(src, ((0, 0), (r, r), (r, r), (0, 0)), mode="edge")
+    kv = jnp.broadcast_to(kern.reshape(taps, 1, 1, 1), (taps, 1, 1, c))
+    kh = jnp.broadcast_to(kern.reshape(1, taps, 1, 1), (1, taps, 1, c))
+    dn = jax.lax.conv_dimension_numbers(pad.shape, kv.shape, ("NHWC", "HWIO", "NHWC"))
+    out = jax.lax.conv_general_dilated(
+        pad, kv, (1, 1), "VALID", dimension_numbers=dn, feature_group_count=c
+    )
+    out = jax.lax.conv_general_dilated(
+        out, kh, (1, 1), "VALID", dimension_numbers=dn, feature_group_count=c
+    )
+    return jnp.where(do, out[0], src[0]).astype(img.dtype)
+
+
 def augment_frame(
     key: Array,
     img: Array,
@@ -293,11 +348,17 @@ def augment_frame(
     ``color_key``/``flip`` optionally share the color-jitter draw and flip
     decision across frames (the per-task deterministic transform mode)."""
     cfg = cfg or AugmentConfig()
-    k_color, k_geom = jax.random.split(key)
+    k_color, k_geom, k_trans, k_blur = jax.random.split(key, 4)
     if color_key is not None:
         k_color = color_key
     dtype = jnp.dtype(cfg.compute_dtype)
     matrix = scale_rotate_flip_matrix(k_geom, cfg, flip=flip)
+    if cfg.trans_frac > 0:
+        h, w = img.shape[0], img.shape[1]
+        t = jax.random.uniform(
+            k_trans, (2,), minval=-cfg.trans_frac, maxval=cfg.trans_frac
+        ) * jnp.asarray([w, h], jnp.float32)
+        matrix = matrix.at[:, 2].set(t)
     # warp FIRST via the packed single-gather kernel, then jitter: the
     # jitter is pointwise-linear so it commutes with the bilinear blend
     # (contrast anchored on the pre-warp mean, matching jitter-then-warp
@@ -310,6 +371,8 @@ def augment_frame(
     mean = jnp.mean(img.astype(dtype))
     jimg = color_jitter(k_color, wimg, cfg, mean=mean)
     jimg = jnp.where(inside[..., None], jimg, jnp.asarray(0, jimg.dtype))
+    if cfg.blur_prob > 0:
+        jimg = gaussian_blur(k_blur, jimg, cfg.blur_prob, cfg.blur_sigma_max)
     return jimg.astype(jnp.float32), wlabel
 
 

@@ -3,14 +3,24 @@
 The strongest accuracy evidence this environment allows at FULL scale: run
 the SPMD meta-training program (learned init + per-neuron lrs, 5-step BPTT,
 psum over the task mesh — the reference's meta_batch_size/num_epochs/
-bptt_epochs defaults, cfgs/meta.yaml) on the flagship architecture
-(DeepLabV3Plus / resnet50 / frozen-BN / os16 / bf16) at 480x480 crops, then
-evaluate the e-OSVOS-10 protocol on HELD-OUT 480x854 sequences and compare
-against the random init under the identical protocol.
+bptt_epochs defaults, /root/reference/cfgs/meta.yaml:24-27) on the flagship
+architecture (DeepLabV3Plus / resnet50 / frozen-BN / bf16) at 480x480
+crops, then evaluate the e-OSVOS-10 protocol on HELD-OUT 480x854 sequences
+and compare against the random init under the identical protocol
+(/root/reference/src/train_meta.py:129-377 is the matched flow).
 
 The small-model version of this experiment (tests/
 test_meta_synth_benchmark.py) runs in-suite on the CPU mesh; this script is
 the same design at reference scale on real hardware.
+
+Calibration note (round 3): the round-2 outer lrs (model_init_lr=3e-3,
+log_init_lr_lr=1e-3 — the small-model test values) diverge at resnet50/480p
+scale: meta-loss rose 0.033→0.28 between iters 100→200 and one held-out
+sequence collapsed to J=0 while the random init scored 0.81. The reference
+trains with model_init_lr=log_init_lr_lr=1e-5 over thousands of iterations
+(cfgs/meta.yaml:43-49); for a few-hundred-iteration run the defaults below
+sit 10x above the reference and 30x below the diverged round-2 values, with
+the reference's weight decay and elementwise grad clip.
 
 Usage:  nohup python scripts/exp_meta_480p_tpu.py --iters 300 \
             > /tmp/meta480.log 2>&1 &
@@ -19,6 +29,7 @@ Usage:  nohup python scripts/exp_meta_480p_tpu.py --iters 300 \
 from __future__ import annotations
 
 import argparse
+import json
 import os
 import sys
 import time
@@ -34,11 +45,22 @@ import numpy as np  # noqa: E402
 
 _ap = argparse.ArgumentParser()
 _ap.add_argument("--iters", type=int, default=300)
-_ap.add_argument("--eval-every", type=int, default=0,
+_ap.add_argument("--eval-every", type=int, default=100,
                  help="interleaved held-out eval interval (0 = end only)")
-_ap.add_argument("--save", default="/tmp/meta480_ckpt",
+_ap.add_argument("--save", default="/tmp/meta480_ckpt_r3",
                  help="checkpoint directory")
+_ap.add_argument("--out", default=None,
+                 help="result json (default <repo>/BENCH_META_480P.json)")
+_ap.add_argument("--model-init-lr", type=float, default=1e-4)
+_ap.add_argument("--log-init-lr-lr", type=float, default=1e-4)
+_ap.add_argument("--weight-decay", type=float, default=1e-4)
+_ap.add_argument("--grad-clip", type=float, default=1.0)
+_ap.add_argument("--train-seqs", type=int, default=32)
+_ap.add_argument("--held-seqs", type=int, default=4)
 ARGS = _ap.parse_args()
+
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+_OUT = ARGS.out or os.path.join(_REPO, "BENCH_META_480P.json")
 
 
 def main():
@@ -70,10 +92,11 @@ def main():
                                learn_model_init=True, use_log_init_lr=False)
 
     # 480p training sequences; held-out sequences at the DAVIS eval geometry
-    train_idx = SyntheticVOSIndex(num_sequences=8, num_frames=8,
+    train_idx = SyntheticVOSIndex(num_sequences=ARGS.train_seqs, num_frames=6,
                                   size=(480, 854), num_objects=1, seed=0)
-    held = SyntheticVOSIndex(num_sequences=2, num_frames=10, size=(480, 854),
-                             num_objects=1, seed=100, name_prefix="held")
+    held = SyntheticVOSIndex(num_sequences=ARGS.held_seqs, num_frames=10,
+                             size=(480, 854), num_objects=1, seed=100,
+                             name_prefix="held")
     taskset = MetaTaskset(
         [train_idx],
         MetaTasksetConfig(num_query_frames=1, crop_size=(480, 480)),
@@ -88,9 +111,13 @@ def main():
                                 train_batch_size=3,
                                 loss_func="cross_entropy_and_dice",
                                 augment=AugmentConfig()),
-        outer_cfg=OuterOptimConfig(model_init_lr=3e-3, log_init_lr_lr=1e-3,
-                                   lr=1e-3, model_init_weight_decay=0.0,
-                                   grad_clip=1.0),
+        outer_cfg=OuterOptimConfig(
+            model_init_lr=ARGS.model_init_lr,
+            log_init_lr_lr=ARGS.log_init_lr_lr,
+            lr=1e-3,
+            model_init_weight_decay=ARGS.weight_decay,
+            grad_clip=ARGS.grad_clip,
+        ),
         train_cfg=MetaTrainConfig(meta_batch_size=len(jax.devices()) * 4,
                                   num_meta_iters=ARGS.iters,
                                   vis_interval=10, save_dir=ARGS.save),
@@ -103,6 +130,28 @@ def main():
                            augment=AugmentConfig())
     ev = OneShotEvaluator(model.apply, meta_cfg, os_cfg)
 
+    result = {
+        "experiment": "meta_480p_tpu",
+        "config": {
+            "iters": ARGS.iters, "meta_batch_size": trainer.train_cfg.meta_batch_size,
+            "model_init_lr": ARGS.model_init_lr,
+            "log_init_lr_lr": ARGS.log_init_lr_lr,
+            "weight_decay": ARGS.weight_decay, "grad_clip": ARGS.grad_clip,
+            "train_seqs": ARGS.train_seqs, "held_seqs": ARGS.held_seqs,
+            "arch": "DeepLabV3Plus/resnet50/frozen_bn/os16/bf16",
+            "crop": [480, 480], "eval_size": [480, 854],
+            "protocol": "e-OSVOS-10 held-out",
+        },
+        "loss_curve": [],       # [iter, meta_loss] every iter
+        "eval_curve": [],       # [iter, J_mean] interleaved held-out evals
+        "ckpt": f"{ARGS.save}/last_meta_iter.ckpt",
+        "status": "running",
+    }
+
+    def dump():
+        with open(_OUT, "w") as f:
+            json.dump(result, f)
+
     def eval_held(mp, tag):
         js = []
         for n in held.sequences:
@@ -112,25 +161,46 @@ def main():
                   f"F={r['F_mean']:.4f}", flush=True)
         return float(np.mean(js))
 
-    t0 = time.time()
-    if ARGS.eval_every:
-        done = 0
-        while done < ARGS.iters:
-            n = min(ARGS.eval_every, ARGS.iters - done)
-            out = trainer.run(n)
-            done += n
-            print(f"iter {done}: meta_loss={out['meta_loss']:.4f} "
-                  f"({(time.time()-t0)/done:.2f} s/iter)", flush=True)
-            eval_held(trainer.meta_params, f"meta@{done}")
-    else:
-        out = trainer.run()
-        print(f"meta-train {ARGS.iters} iters in {time.time()-t0:.0f}s, "
-              f"final meta_loss={out['meta_loss']:.4f}", flush=True)
-
-    j_meta = eval_held(trainer.meta_params, "meta")
+    # random-init baseline FIRST, so the comparison target is on record even
+    # if training is interrupted
+    t_ev0 = time.time()
     j_rand = eval_held(init_meta_params(meta_cfg, params), "rand")
+    result["j_random_init"] = j_rand
+    print(f"random-init held-out J = {j_rand:.4f} "
+          f"({time.time()-t_ev0:.0f}s incl. compile)", flush=True)
+    dump()
+
+    t0 = time.time()
+    done = 0
+    while done < ARGS.iters:
+        out = trainer.run(1)
+        done += 1
+        result["loss_curve"].append([done, float(out["meta_loss"])])
+        if done % 10 == 0:
+            result["s_per_iter"] = (time.time() - t0) / done
+            print(f"iter {done}: meta_loss={out['meta_loss']:.4f} "
+                  f"({result['s_per_iter']:.2f} s/iter cum)", flush=True)
+            dump()
+        if ARGS.eval_every and done % ARGS.eval_every == 0:
+            j = eval_held(trainer.meta_params, f"meta@{done}")
+            result["eval_curve"].append([done, j])
+            trainer.save(f"iter{done:05d}")
+            dump()
+
+    train_s = time.time() - t0
+    j_meta = eval_held(trainer.meta_params, "meta")
+    result.update({
+        "status": "done",
+        "train_s": train_s,
+        "s_per_iter": train_s / max(done, 1),
+        "j_meta": j_meta,
+        "j_uplift": j_meta - j_rand,
+    })
+    dump()
     print(f"held-out J (e-OSVOS-10 protocol, 480x854): "
-          f"meta-trained={j_meta:.4f}  random-init={j_rand:.4f}", flush=True)
+          f"meta-trained={j_meta:.4f}  random-init={j_rand:.4f} "
+          f"(uplift {j_meta - j_rand:+.4f}); "
+          f"{train_s/max(done,1):.2f} s/iter over {done} iters", flush=True)
 
 
 if __name__ == "__main__":

@@ -145,6 +145,53 @@ class TestTransforms:
         assert ci.shape == (4, 5, 3)
         assert cl.shape == (4, 5)
 
+    def test_gaussian_blur_smooths_and_preserves_mean(self):
+        rng = np.random.RandomState(0)
+        img = jnp.asarray(rng.randint(0, 255, (16, 16, 3)), jnp.float32)
+        v_in = float(jnp.var(img))
+        vars_out = []
+        for s in range(5):
+            out = transforms.gaussian_blur(jax.random.key(s), img, prob=1.0,
+                                           sigma_max=1.0)
+            assert out.shape == img.shape
+            # (edge-replicate padding) roughly preserves the mean
+            assert abs(float(jnp.mean(out)) - float(jnp.mean(img))) < 3.0
+            # blur never ADDS high-frequency energy
+            vars_out.append(float(jnp.var(out)))
+            assert vars_out[-1] <= v_in * 1.001
+        # sigma ~ U[0,1): most draws blur substantially on white noise
+        assert min(vars_out) < 0.7 * v_in
+
+    def test_gaussian_blur_prob_zero_identity(self):
+        img = jnp.asarray(
+            np.random.RandomState(1).randint(0, 255, (8, 8, 3)), jnp.float32
+        )
+        out = transforms.gaussian_blur(jax.random.key(0), img, prob=0.0,
+                                       sigma_max=1.0)
+        np.testing.assert_array_equal(np.asarray(out), np.asarray(img))
+
+    def test_voc_parent_augment_translates_and_blurs(self):
+        """The VOC preset (pascal_voc.py:86-96 stack): translation moves the
+        object, blur path runs inside augment_frame without shape changes."""
+        cfg = transforms.VOC_PARENT_AUGMENT
+        img = jnp.zeros((32, 32, 3), jnp.float32)
+        label = jnp.zeros((32, 32), jnp.int32)
+        label = label.at[12:20, 12:20].set(1)
+        img = img.at[12:20, 12:20].set(200.0)
+        centers = []
+        for s in range(6):
+            _, out_label = transforms.augment_frame(
+                jax.random.key(s), img, label, cfg
+            )
+            ys, xs = np.nonzero(np.asarray(out_label) == 1)
+            if len(ys):
+                centers.append((ys.mean(), xs.mean()))
+        # across seeds the object center must move (translation is live)
+        assert len(centers) >= 2
+        assert np.std([c[0] for c in centers]) + np.std(
+            [c[1] for c in centers]
+        ) > 1.0
+
 
 class TestSynthetic:
     def test_sequence_layout(self):
@@ -368,9 +415,50 @@ class TestVOCIndex:
         img = idx.get_image(name, 0)
         lab = idx.get_label(name, 0)
         assert img.shape == (30, 40, 3)
-        assert set(np.unique(lab)) <= {0, 1, 255}
+        # default void mode = background (the reference's stated intent,
+        # pascal_voc.py:156)
+        assert set(np.unique(lab)) <= {0, 1}
         assert lab[10, 10] == 1  # class id collapsed to fg
-        assert lab[0, 0] == 255  # void preserved
+        assert lab[0, 0] == 0  # void → background
+
+    def test_void_ignore_mode(self, tmp_path):
+        from e_osvos_tpu.data.voc import VOC2012Index
+
+        idx = VOC2012Index(self._make_voc(tmp_path), split="train",
+                           void="ignore")
+        name = sorted(idx.sequences)[0]
+        lab = idx.get_label(name, 0)
+        assert lab[0, 0] == 255  # void preserved as ignore
+        assert lab[10, 10] == 1
+
+    def test_fix_scale_crop(self, tmp_path):
+        from e_osvos_tpu.data.voc import fix_scale_crop
+
+        rng = np.random.RandomState(0)
+        img = rng.randint(0, 255, (30, 40, 3), np.uint8)
+        lab = np.zeros((30, 40), np.uint8)
+        lab[10:20, 15:30] = 1
+        out, olab = fix_scale_crop(img, lab, 24)
+        # short edge (30) scaled to 24, center crop → square static shape
+        assert out.shape == (24, 24, 3)
+        assert olab.shape == (24, 24)
+        assert set(np.unique(olab)) <= {0, 1}
+        # the centered object survives the center crop
+        assert olab.sum() > 0
+
+    def test_build_indexes_dispatch(self, tmp_path):
+        from e_osvos_tpu.cli.common import build_indexes
+        from e_osvos_tpu.data.voc import VOC2012Index
+
+        root = self._make_voc(tmp_path)
+        cfg = {
+            "datasets": {"train": {"name": "VOC2012", "split": "train",
+                                   "root": root}},
+            "voc": {"void": "ignore"},
+        }
+        (idx,) = build_indexes(cfg, "train")
+        assert isinstance(idx, VOC2012Index)
+        assert idx.void == "ignore"
 
 
 class TestYouTubeVOSIndex:

@@ -62,15 +62,53 @@ print(f"WORKER_{proc_id}_OK", flush=True)
 """
 
 
-@pytest.mark.slow
-def test_two_process_cpu_distributed(tmp_path):
+# single-process jax.distributed init against a localhost coordinator —
+# probes ONLY whether this sandbox allows the distributed runtime (sockets,
+# coordination service), independent of the 2-process logic under test
+PROBE = r"""
+import os, sys
+port = sys.argv[1]
+os.environ["JAX_PLATFORMS"] = "cpu"
+import jax
+jax.config.update("jax_platforms", "cpu")
+jax.distributed.initialize(
+    coordinator_address=f"localhost:{port}", num_processes=1, process_id=0
+)
+assert jax.process_count() == 1
+print("PROBE_OK", flush=True)
+"""
+
+
+def _free_port() -> int:
     with socket.socket() as s:
         s.bind(("localhost", 0))
-        port = s.getsockname()[1]
+        return s.getsockname()[1]
 
+
+def _distributed_runtime_available(env) -> bool:
+    """Capability probe (VERDICT r2 weak #6): skip decisions must come from
+    an environment probe, not from whether the test itself timed out."""
+    try:
+        out = subprocess.run(
+            [sys.executable, "-c", PROBE, str(_free_port())],
+            cwd=REPO, env=env, capture_output=True, text=True, timeout=120,
+        )
+    except subprocess.TimeoutExpired:
+        return False
+    return out.returncode == 0 and "PROBE_OK" in out.stdout
+
+
+@pytest.mark.slow
+def test_two_process_cpu_distributed(tmp_path):
     env = dict(os.environ)
     env.pop("XLA_FLAGS", None)
     env.pop("JAX_PLATFORMS", None)
+    if not _distributed_runtime_available(env):
+        pytest.skip("jax.distributed runtime unavailable (probe failed)")
+
+    # the probe passed, so from here on every failure mode — including a
+    # hang — is a real regression and must FAIL, not skip
+    port = _free_port()
     procs = [
         subprocess.Popen(
             [sys.executable, "-c", WORKER, str(i), str(port), REPO],
@@ -87,11 +125,7 @@ def test_two_process_cpu_distributed(tmp_path):
     except subprocess.TimeoutExpired:
         for p in procs:
             p.kill()
-        pytest.skip("distributed runtime did not come up (timeout)")
-    if any(p.returncode != 0 for p in procs) and any(
-        "Failed to connect" in o or "UNAVAILABLE" in o for o in outs
-    ):
-        pytest.skip(f"distributed runtime unavailable: {outs}")
+        pytest.fail("2-process distributed run hung (probe had passed)")
     for i, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, out
         assert f"WORKER_{i}_OK" in out
