@@ -77,7 +77,7 @@ def main():
     evaluator = OneShotEvaluator(model.apply, meta_cfg, cfg)
 
     index = SyntheticVOSIndex(
-        num_sequences=2, num_frames=T, size=(H, W), num_objects=1, seed=0
+        num_sequences=4, num_frames=T, size=(H, W), num_objects=1, seed=0
     )
 
     key = jax.random.PRNGKey(0)
@@ -86,6 +86,8 @@ def main():
         """The reference's timed region (evaluate.py:152,319-320): fine-tune
         + propagate + OnA re-fits for one sequence/object group; J/F scoring
         is outside the timer there and here."""
+        from e_osvos_tpu.ops.bits import pack_mask_bits, unpack_mask_bits
+
         seq = index.sequences[name]
         frames = jnp.asarray(
             np.stack([index.get_image(name, t) for t in range(len(seq))])
@@ -94,22 +96,25 @@ def main():
             index, seq, frames, seq.object_groups[0], meta_params, key, None
         )
         # The deliverable is the segmentation mask (the reference exports
-        # uint8 indexed PNGs, evaluate.py:332-342); thresholding on device
-        # and transferring uint8 is the honest timing barrier — under the
-        # axon tunnel block_until_ready returns before execution finishes,
-        # so a real device→host materialization is required
-        mask = (probs >= evaluator.cfg.threshold).astype(jnp.uint8)
-        return np.asarray(mask)
+        # uint8 indexed PNGs, evaluate.py:332-342); materializing it on the
+        # host is the honest timing barrier — under the axon tunnel
+        # block_until_ready returns before execution finishes. The mask
+        # crosses the wire bit-packed (8 px/byte, ops/bits.py) and is
+        # unpacked to full uint8 INSIDE the timed region.
+        packed = pack_mask_bits(probs >= evaluator.cfg.threshold)
+        return unpack_mask_bits(np.asarray(packed), probs.shape[-1])
 
     run_seq("seq00")  # warmup: compiles fine-tune, window-infer, OnA-refit
 
-    best = float("inf")
-    for _ in range(2):
+    # median over 3 distinct sequences: robust to tunnel-transfer variance
+    # (a single-sequence best-of-2 swung by ~10% between rounds)
+    times = []
+    for name in ("seq01", "seq02", "seq03"):
         t0 = time.perf_counter()
-        run_seq("seq01")
-        best = min(best, time.perf_counter() - t0)
+        run_seq(name)
+        times.append(time.perf_counter() - t0)
 
-    fps = T / best
+    fps = T / float(np.median(times))
     print(
         json.dumps(
             {

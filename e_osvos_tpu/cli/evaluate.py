@@ -42,6 +42,15 @@ def build_evaluator(cfg, model):
 
     meta_cfg = cfglib.to_meta_optim_config(cfg)
     one_shot_cfg = cfglib.to_one_shot_config(cfg)
+    mesh = None
+    if cfg.get("eval_frame_parallel"):
+        # multi-chip eval: the dense path shards the inference FRAME axis
+        # (one_shot.py::_install_frame_sharding); the detection path's frame
+        # axis is sequential (box-carry scan), so it shards the OBJECT axis
+        # instead (one_shot_detection.py::_install_object_sharding)
+        from e_osvos_tpu.parallel import make_mesh
+
+        mesh = make_mesh()
     arch = cfg.get("parent_model", {}).get("architecture", "DeepLabV3Plus")
     if arch == "MaskRCNN":
         pm = cfg.get("parent_model", {})
@@ -58,14 +67,7 @@ def build_evaluator(cfg, model):
             ona_reset_mode=str(ona.get("reset_model_mode", "FIRST_STEP")),
             ona_only_box_head=bool(ona.get("only_box_head", False)),
         )
-        return DetectionOneShotEvaluator(model, meta_cfg, det_cfg)
-    mesh = None
-    if cfg.get("eval_frame_parallel"):
-        # shard the inference frame axis over every local device
-        # (frame-parallel eval, engine/one_shot.py::_install_frame_sharding)
-        from e_osvos_tpu.parallel import make_mesh
-
-        mesh = make_mesh()
+        return DetectionOneShotEvaluator(model, meta_cfg, det_cfg, mesh=mesh)
     return OneShotEvaluator(model.apply, meta_cfg, one_shot_cfg, mesh=mesh)
 
 

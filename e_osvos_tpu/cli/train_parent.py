@@ -18,6 +18,7 @@ from e_osvos_tpu.cli.common import (
 from e_osvos_tpu.data import transforms
 from e_osvos_tpu.engine.parent_trainer import (
     FrameSampler,
+    InstanceFrameSampler,
     ParentTrainConfig,
     ParentTrainer,
 )
@@ -29,7 +30,10 @@ def to_parent_config(cfg) -> ParentTrainConfig:
     crop = cfg.get("data_cfg", {}).get("crop_sizes", {}).get("train") or (480, 480)
     if isinstance(crop, int):
         crop = (crop, crop)
+    arch = cfg.get("parent_model", {}).get("architecture", "DeepLabV3Plus")
     return ParentTrainConfig(
+        task="detection" if arch == "MaskRCNN" else "dense",
+        max_objects=int(p.get("max_objects", 3)),
         num_iters=int(p.get("num_iters", 10000)),
         batch_size=int(p.get("batch_size", 8)),
         lr=float(p.get("lr", 1e-4)),
@@ -57,7 +61,13 @@ def main(argv=None):
     pcfg = to_parent_config(cfg)
     params = init_model_params(cfg, model, input_hw=pcfg.crop_size)
     indexes = build_indexes(cfg, "train")
-    sampler = FrameSampler(indexes, pcfg.crop_size, seed=pcfg.seed)
+    if pcfg.task == "detection":
+        sampler = InstanceFrameSampler(
+            indexes, pcfg.crop_size, max_objects=pcfg.max_objects,
+            seed=pcfg.seed,
+        )
+    else:
+        sampler = FrameSampler(indexes, pcfg.crop_size, seed=pcfg.seed)
 
     trainer = ParentTrainer(
         model_apply=model.apply,

@@ -188,6 +188,9 @@ def to_one_shot_config(cfg: Dict) -> OneShotConfig:
         online_adapt_min_prop=float(ona.get("min_prop", 0.5)),
         normalize_mode="unit" if cfg.get("data_cfg", {}).get("normalize") else "davis",
         augment=to_augment_config(cfg),
+        # resolution bucketing for heterogeneous-resolution datasets
+        # (one_shot.py::OneShotConfig.pad_multiple); 0 = exact shapes
+        pad_multiple=int(cfg.get("eval_pad_multiple", 0) or 0),
     )
 
 

@@ -446,6 +446,36 @@ def pad_to(img: Array, label: Array, size: Tuple[int, int]) -> Tuple[Array, Arra
     return img_p, label_p, valid
 
 
+def bucket_hw(h: int, w: int, multiple: int) -> Tuple[int, int]:
+    """Round (h, w) up to the next multiple — the eval-resolution bucket.
+
+    Heterogeneous-resolution datasets (YT-VOS validates at native size,
+    youtube.py:58-109) would otherwise compile one program per exact
+    (H, W); bucketing bounds the compile count to the number of distinct
+    buckets while the J/F scoring still runs on the ORIGINAL geometry
+    (the evaluators crop the probability maps back before scoring)."""
+    return (-(-h // multiple) * multiple, -(-w // multiple) * multiple)
+
+
+def pad_frames_to_multiple(frames: Array, multiple: int) -> Array:
+    """Zero-pad a [T,H,W,3] frame stack bottom/right to the bucket size."""
+    h, w = frames.shape[1], frames.shape[2]
+    hb, wb = bucket_hw(h, w, multiple)
+    if (hb, wb) == (h, w):
+        return frames
+    return jnp.pad(frames, ((0, 0), (0, hb - h), (0, wb - w), (0, 0)))
+
+
+def pad_label_to(label: Array, hw: Tuple[int, int]) -> Array:
+    """255-pad an [H,W] label map bottom/right to a target size (255 =
+    ignore, so padded pixels never contribute loss or pseudo-GT)."""
+    h, w = label.shape[0], label.shape[1]
+    th, tw = hw
+    if (th, tw) == (h, w):
+        return label
+    return jnp.pad(label, ((0, th - h), (0, tw - w)), constant_values=255)
+
+
 def random_crop(
     key: Array, img: Array, label: Array, size: Tuple[int, int]
 ) -> Tuple[Array, Array]:

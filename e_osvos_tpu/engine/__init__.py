@@ -18,6 +18,7 @@ from e_osvos_tpu.engine.meta_trainer import (  # noqa: F401
 )
 from e_osvos_tpu.engine.parent_trainer import (  # noqa: F401
     FrameSampler,
+    InstanceFrameSampler,
     ParentTrainConfig,
     ParentTrainer,
 )

@@ -68,6 +68,12 @@ class OneShotConfig:
     # segmentation threshold for binary masks
     threshold: float = 0.5
     normalize_mode: str = "davis"
+    # resolution bucketing for heterogeneous-resolution eval (YT-VOS
+    # validates at native size, youtube.py:58-109): pad frames to the next
+    # multiple so the number of compiled programs is bounded by the bucket
+    # count, not the distinct-resolution count; 0 = exact shapes. Scoring
+    # always runs on the original geometry (probs cropped back).
+    pad_multiple: int = 0
     augment: transforms.AugmentConfig = dataclasses.field(
         default_factory=transforms.AugmentConfig
     )
@@ -166,6 +172,19 @@ def segment_frames(
     imgs = transforms.normalize(frames.astype(jnp.float32), cfg.normalize_mode)
     logits = model_apply(params, imgs)[..., 0]
     return jax.nn.sigmoid(logits)
+
+
+def pseudo_ignore_padding(pseudo: Array, orig_hw) -> Array:
+    """Bucket-padded pixels must never become pseudo ground truth: the
+    model's response to the zero-padding is not a prediction about the
+    scene. 255 = ignore; applied on the last two (H, W) axes."""
+    if orig_hw is None:
+        return pseudo
+    h0, w0 = orig_hw
+    if (h0, w0) == pseudo.shape[-2:]:
+        return pseudo
+    pseudo = pseudo.at[..., h0:, :].set(255)
+    return pseudo.at[..., :, w0:].set(255)
 
 
 def merge_objects(probs: Array, threshold: float = 0.5) -> Array:
@@ -326,22 +345,30 @@ class OneShotEvaluator:
         T = len(seq)
         # native threaded prefetch when the sequence is JPEG-backed
         frames_j = jnp.asarray(load_frames(index, seq_name))
+        h0, w0 = frames_j.shape[1], frames_j.shape[2]
+        if self.cfg.pad_multiple:
+            frames_j = transforms.pad_frames_to_multiple(
+                frames_j, self.cfg.pad_multiple
+            )
 
         groups = seq.object_groups
         same_support = len({g.support_frame for g in groups}) == 1
         if self.batch_objects and len(groups) > 1 and same_support:
             probs = self._eval_objects_batched(
-                index, seq, frames_j, meta_params, key, init_params
+                index, seq, frames_j, meta_params, key, init_params,
+                orig_hw=(h0, w0),
             )  # [O,T,H,W]
         else:
             obj_probs = []
             for gi, group in enumerate(groups):
                 gkey = jax.random.fold_in(key, gi)
                 p = self._eval_object_group(
-                    index, seq, frames_j, group, meta_params, gkey, init_params
+                    index, seq, frames_j, group, meta_params, gkey,
+                    init_params, orig_hw=(h0, w0),
                 )
                 obj_probs.append(p)
             probs = jnp.stack(obj_probs)  # [O,T,H,W]
+        probs = probs[..., :h0, :w0]  # crop bucket padding before scoring
         merged = merge_objects(probs, self.cfg.threshold)  # [T,H,W]
         j_means, f_means = self._score_merged(index, seq_name, seq, merged)
         return {
@@ -397,8 +424,13 @@ class OneShotEvaluator:
 
         seq = index.sequences[seq_name]
         frames_j = jnp.asarray(load_frames(index, seq_name))
+        h0, w0 = frames_j.shape[1], frames_j.shape[2]
+        if self.cfg.pad_multiple:
+            frames_j = transforms.pad_frames_to_multiple(
+                frames_j, self.cfg.pad_multiple
+            )
         params = init_params if init_params is not None else meta_params.model_init
-        probs = self._jit_seg(params, frames_j)  # [T,H,W]
+        probs = self._jit_seg(params, frames_j)[..., :h0, :w0]  # [T,H,W]
         probs_o = jnp.broadcast_to(
             probs[None], (len(seq.object_groups),) + tuple(probs.shape)
         )
@@ -410,6 +442,9 @@ class OneShotEvaluator:
             "init_F_mean": float(np.nanmean(f_means)) if f_means else float("nan"),
         }
 
+    def _pseudo_ignore_padding(self, pseudo: Array, orig_hw) -> Array:
+        return pseudo_ignore_padding(pseudo, orig_hw)
+
     def _eval_objects_batched(
         self,
         index,
@@ -418,6 +453,7 @@ class OneShotEvaluator:
         meta_params: MetaParams,
         key: Array,
         init_params: Any,
+        orig_hw=None,
     ) -> Array:
         """All object groups fine-tuned and propagated in ONE vmapped
         program (SURVEY.md §7 step 4: objects as a batch axis), including
@@ -432,6 +468,9 @@ class OneShotEvaluator:
             np.stack([binarize_label(gt, g.object_ids) for g in groups]),
             jnp.int32,
         )  # [O,H,W]
+        labels = jax.vmap(
+            lambda l: transforms.pad_label_to(l, frames_j.shape[1:3])
+        )(labels)
         keys = jax.vmap(lambda i: jax.random.fold_in(key, i))(
             jnp.arange(len(groups))
         )
@@ -461,6 +500,7 @@ class OneShotEvaluator:
                             sel <= 1.0 - cfg.online_adapt_min_prop, 0, 255
                         ),
                     ).astype(jnp.int32)
+                    pseudo = self._pseudo_ignore_padding(pseudo, orig_hw)
                     has_fg = jnp.any(pseudo == 1, axis=(2, 3))
                     pseudo = jnp.where(has_fg[:, :, None, None], pseudo, 255)
                     params_o = self._jit_ona_ft_objs(
@@ -483,6 +523,7 @@ class OneShotEvaluator:
         meta_params: MetaParams,
         key: Array,
         init_params: Any,
+        orig_hw=None,
     ) -> Array:
         """Returns [T,H,W] fg probability for one object group."""
         cfg = self.cfg
@@ -490,8 +531,9 @@ class OneShotEvaluator:
         sf = group.support_frame
         support_img = frames_j[sf]
         gt = index.get_label(seq.name, sf)
-        support_label = jnp.asarray(
-            binarize_label(gt, group.object_ids), jnp.int32
+        support_label = transforms.pad_label_to(
+            jnp.asarray(binarize_label(gt, group.object_ids), jnp.int32),
+            frames_j.shape[1:3],
         )
 
         k_ft, k_ona = jax.random.split(key)
@@ -526,6 +568,7 @@ class OneShotEvaluator:
                     1,
                     jnp.where(sel_probs <= 1.0 - cfg.online_adapt_min_prop, 0, 255),
                 ).astype(jnp.int32)
+                pseudo = self._pseudo_ignore_padding(pseudo, orig_hw)
                 has_fg = jnp.any(pseudo == 1, axis=(1, 2))
                 pseudo = jnp.where(has_fg[:, None, None], pseudo, 255)
                 k_w = jax.random.fold_in(k_ona, window_id)

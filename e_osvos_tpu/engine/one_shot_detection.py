@@ -25,7 +25,11 @@ import numpy as np
 
 from e_osvos_tpu.data import transforms
 from e_osvos_tpu.data.datasets import binarize_label
-from e_osvos_tpu.engine.one_shot import OneShotConfig, merge_objects
+from e_osvos_tpu.engine.one_shot import (
+    OneShotConfig,
+    merge_objects,
+    pseudo_ignore_padding,
+)
 from e_osvos_tpu.meta_optim import MetaOptimConfig, MetaParams, fine_tune
 from e_osvos_tpu.ops.boxes import masks_to_boxes
 
@@ -57,11 +61,13 @@ class DetectionOneShotEvaluator:
         meta_cfg: MetaOptimConfig,
         cfg: DetectionOneShotConfig,
         batch_objects: bool = True,
+        mesh: Optional[Any] = None,
     ):
         self.model = model
         self.meta_cfg = meta_cfg
         self.cfg = cfg
         self.batch_objects = batch_objects
+        self._shard_n = 0
         self._jit_ft = jax.jit(self._fine_tune)
         self._jit_window = jax.jit(self._segment_window)
         # donate the carried params on OnA refits (FIRST_STEP continuation
@@ -79,6 +85,65 @@ class DetectionOneShotEvaluator:
         self._jit_ona_ft_objs = jax.jit(
             jax.vmap(self._ona_fine_tune,
                      in_axes=(None, 0, None, 0, None, 0, 0)),
+            donate_argnums=(6,),
+        )
+        if mesh is not None:
+            self._install_object_sharding(mesh)
+
+    def _install_object_sharding(self, mesh) -> None:
+        """Object-parallel eval over a device mesh (the detection analogue of
+        one_shot.py::_install_frame_sharding). The box-carry tracking prior
+        makes the FRAME axis sequential (lax.scan carry), so the free data-
+        parallel axis here is the OBJECT axis: per-object fine-tuned params,
+        box carries, pseudo-GT labels, and PRNG keys shard over the mesh's
+        first axis while the meta-params and the frame window broadcast.
+        ``_eval_objects_batched`` pads the object count to a shard multiple
+        (duplicating the last object; padded rows are discarded), so any
+        multi-object sequence runs with every chip tracking its own
+        object(s). This is a capability beyond the reference, whose eval
+        binds one whole GPU per dataset (evaluate.py:20).
+
+        shard_map (not in_shardings) on purpose: vmapping a conv over a
+        per-object KERNEL axis lowers to a grouped convolution
+        (feature_group_count=O), and the SPMD partitioner cannot split a
+        grouped conv across its group axis (it produces an invalid
+        groups/features combination). shard_map splits the object axis
+        BEFORE tracing, so every shard compiles the plain per-object
+        program with no cross-shard conv at all."""
+        from jax import shard_map
+        from jax.sharding import PartitionSpec as P
+
+        axis = mesh.axis_names[0]
+        self._shard_n = int(np.prod(list(mesh.shape.values())))
+        rep = P()
+        obj = P(axis)
+        self._jit_ft_objs = jax.jit(
+            shard_map(
+                jax.vmap(self._fine_tune, in_axes=(None, 0, None, 0, None)),
+                mesh=mesh,
+                in_specs=(rep, obj, rep, obj, rep),
+                out_specs=obj,
+                check_vma=False,
+            )
+        )
+        self._jit_window_objs = jax.jit(
+            shard_map(
+                jax.vmap(self._segment_window, in_axes=(0, None, 0, 0, 0)),
+                mesh=mesh,
+                in_specs=(obj, rep, obj, obj, obj),
+                out_specs=obj,
+                check_vma=False,
+            )
+        )
+        self._jit_ona_ft_objs = jax.jit(
+            shard_map(
+                jax.vmap(self._ona_fine_tune,
+                         in_axes=(None, 0, None, 0, None, 0, 0)),
+                mesh=mesh,
+                in_specs=(rep, obj, rep, obj, rep, obj, obj),
+                out_specs=obj,
+                check_vma=False,
+            ),
             donate_argnums=(6,),
         )
 
@@ -261,22 +326,29 @@ class DetectionOneShotEvaluator:
         seq = index.sequences[seq_name]
         T = len(seq)
         frames = jnp.asarray(load_frames(index, seq_name))
+        h0, w0 = frames.shape[1], frames.shape[2]
+        if cfg.pad_multiple:
+            frames = transforms.pad_frames_to_multiple(frames, cfg.pad_multiple)
         K = self.model.roi.detections_per_img
 
         groups = seq.object_groups
         same_support = len({g.support_frame for g in groups}) == 1
         if self.batch_objects and len(groups) > 1 and same_support:
             probs = self._eval_objects_batched(
-                index, seq, frames, meta_params, key, init_params
+                index, seq, frames, meta_params, key, init_params,
+                orig_hw=(h0, w0),
             )
-            return self._score(index, seq_name, seq, T, probs)
+            return self._score(index, seq_name, seq, T, probs[..., :h0, :w0])
 
         obj_probs = []
         for gi, group in enumerate(seq.object_groups):
             gkey = jax.random.fold_in(key, gi)
             sf = group.support_frame
             gt = index.get_label(seq_name, sf)
-            label = jnp.asarray(binarize_label(gt, group.object_ids), jnp.int32)
+            label = transforms.pad_label_to(
+                jnp.asarray(binarize_label(gt, group.object_ids), jnp.int32),
+                frames.shape[1:3],
+            )
 
             k_ft, k_win, k_ona = jax.random.split(gkey, 3)
             params, _ = self._jit_ft(
@@ -316,6 +388,7 @@ class DetectionOneShotEvaluator:
                             sel <= 1.0 - cfg.online_adapt_min_prop, 0, 255
                         ),
                     ).astype(jnp.int32)
+                    pseudo = pseudo_ignore_padding(pseudo, (h0, w0))
                     has_fg = jnp.any(pseudo == 1, axis=(1, 2))
                     pseudo = jnp.where(has_fg[:, None, None], pseudo, 255)
                     k_w = jax.random.fold_in(k_ona, window_id)
@@ -328,7 +401,7 @@ class DetectionOneShotEvaluator:
             obj_probs.append(probs)
 
         probs = jnp.stack(obj_probs)
-        return self._score(index, seq_name, seq, T, probs)
+        return self._score(index, seq_name, seq, T, probs[..., :h0, :w0])
 
     def eval_sequence_init(
         self,
@@ -347,6 +420,9 @@ class DetectionOneShotEvaluator:
         seq = index.sequences[seq_name]
         T = len(seq)
         frames = jnp.asarray(load_frames(index, seq_name))
+        h0, w0 = frames.shape[1], frames.shape[2]
+        if cfg.pad_multiple:
+            frames = transforms.pad_frames_to_multiple(frames, cfg.pad_multiple)
         K = self.model.roi.detections_per_img
         params = init_params if init_params is not None else meta_params.model_init
         if params is None:
@@ -359,7 +435,10 @@ class DetectionOneShotEvaluator:
         for gi, group in enumerate(seq.object_groups):
             sf = group.support_frame
             gt = index.get_label(seq_name, sf)
-            label = jnp.asarray(binarize_label(gt, group.object_ids), jnp.int32)
+            label = transforms.pad_label_to(
+                jnp.asarray(binarize_label(gt, group.object_ids), jnp.int32),
+                frames.shape[1:3],
+            )
             boxes0, valid0 = masks_to_boxes(
                 (label == 1).astype(jnp.float32)[None]
             )
@@ -381,7 +460,9 @@ class DetectionOneShotEvaluator:
                 start, window_id = end, window_id + 1
             obj_probs.append(probs)
 
-        res = self._score(index, seq_name, seq, T, jnp.stack(obj_probs))
+        res = self._score(
+            index, seq_name, seq, T, jnp.stack(obj_probs)[..., :h0, :w0]
+        )
         return {
             "seq": seq_name,
             "init_J_mean": res["J_mean"],
@@ -389,14 +470,15 @@ class DetectionOneShotEvaluator:
         }
 
     def _eval_objects_batched(
-        self, index, seq, frames, meta_params: MetaParams, key, init_params
+        self, index, seq, frames, meta_params: MetaParams, key, init_params,
+        orig_hw=None,
     ):
         """All object groups fine-tuned, tracked, and OnA-refit in ONE
         vmapped program (per-object params + box carries); requires a
         shared support frame. Returns [O,T,H,W] probabilities."""
         cfg = self.cfg
         groups = seq.object_groups
-        O = len(groups)
+        O_real = len(groups)
         T = frames.shape[0]
         K = self.model.roi.detections_per_img
         sf = groups[0].support_frame
@@ -405,6 +487,20 @@ class DetectionOneShotEvaluator:
             np.stack([binarize_label(gt, g.object_ids) for g in groups]),
             jnp.int32,
         )  # [O,H,W]
+        labels = jax.vmap(
+            lambda l: transforms.pad_label_to(l, frames.shape[1:3])
+        )(labels)
+        if self._shard_n:
+            # pad the object axis to a shard multiple (duplicate the last
+            # object; the padded rows are discarded before scoring)
+            pad = (-O_real) % self._shard_n
+            if pad:
+                labels = jnp.concatenate(
+                    [labels,
+                     jnp.broadcast_to(labels[-1:], (pad,) + labels.shape[1:])],
+                    axis=0,
+                )
+        O = labels.shape[0]
         # per-purpose base keys first, then fold (window_id, object) into
         # separate fold_in calls — a shared linear encoding (1000+w*64+i)
         # aliases across purposes/long sequences/O>64
@@ -443,6 +539,7 @@ class DetectionOneShotEvaluator:
                     1,
                     jnp.where(sel <= 1.0 - cfg.online_adapt_min_prop, 0, 255),
                 ).astype(jnp.int32)
+                pseudo = pseudo_ignore_padding(pseudo, orig_hw)
                 has_fg = jnp.any(pseudo == 1, axis=(2, 3))
                 pseudo = jnp.where(has_fg[:, :, None, None], pseudo, 255)
                 ko_base = jax.random.fold_in(k_ona, window_id)
@@ -455,7 +552,7 @@ class DetectionOneShotEvaluator:
                 )
             start = end
             window_id += 1
-        return probs
+        return probs[:O_real]
 
     def _score(self, index, seq_name, seq, T, probs):
         from e_osvos_tpu.ops import metrics as metric_ops

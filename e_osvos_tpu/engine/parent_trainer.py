@@ -49,6 +49,14 @@ class ParentTrainConfig:
     augment: transforms.AugmentConfig = dataclasses.field(
         default_factory=transforms.AugmentConfig
     )
+    # "dense" = binary fg/bg segmentation (the reference's train_parent
+    # task); "detection" = supervised Mask R-CNN training on instance
+    # masks — the in-framework analog of the COCO pre-training the
+    # reference gets for free from torchvision (helper_func.py:339-346
+    # loads maskrcnn_resnet50_fpn(pretrained=True)); with no COCO in this
+    # environment, a detection parent must be trainable from scratch.
+    task: str = "dense"
+    max_objects: int = 3  # detection: instance slots per frame
 
 
 class FrameSampler:
@@ -80,6 +88,43 @@ class FrameSampler:
             gt = index.get_label(name, t)
             ids = [k for k in np.unique(gt) if k not in (0, 255)]
             label = binarize_label(gt, ids).astype(np.int32)
+            h, w = img.shape[:2]
+            if h < th or w < tw:
+                img = np.pad(img, ((0, max(th - h, 0)), (0, max(tw - w, 0)), (0, 0)))
+                label = np.pad(label, ((0, max(th - h, 0)), (0, max(tw - w, 0))),
+                               constant_values=255)
+                h, w = img.shape[:2]
+            y0 = self.rng.randint(0, h - th + 1)
+            x0 = self.rng.randint(0, w - tw + 1)
+            imgs[i] = img[y0 : y0 + th, x0 : x0 + tw]
+            labels[i] = label[y0 : y0 + th, x0 : x0 + tw]
+        seeds = self.rng.randint(0, 2**31 - 1, size=(n,)).astype(np.uint32)
+        return imgs, labels, seeds
+
+
+class InstanceFrameSampler(FrameSampler):
+    """Detection-parent variant: labels keep per-instance ids (1..K),
+    remapped per frame; instances beyond ``max_objects`` become 255-ignore
+    so they never count as background."""
+
+    def __init__(self, indexes: Sequence, crop_size, max_objects: int = 3,
+                 seed: int = 0):
+        super().__init__(indexes, crop_size, seed=seed)
+        self.max_objects = max_objects
+
+    def sample_batch(self, n: int):
+        th, tw = self.crop
+        imgs = np.zeros((n, th, tw, 3), np.float32)
+        labels = np.full((n, th, tw), 255, np.int32)
+        for i in range(n):
+            ii, name, t = self.units[self.rng.randint(len(self.units))]
+            index = self.indexes[ii]
+            img = index.get_image(name, t).astype(np.float32)
+            gt = index.get_label(name, t).astype(np.int32)
+            ids = [k for k in np.unique(gt) if k not in (0, 255)]
+            label = np.where(gt == 255, 255, 0).astype(np.int32)
+            for slot, k in enumerate(ids, start=1):
+                label[gt == k] = slot if slot <= self.max_objects else 255
             h, w = img.shape[:2]
             if h < th or w < tw:
                 img = np.pad(img, ((0, max(th - h, 0)), (0, max(tw - w, 0)), (0, 0)))
@@ -133,17 +178,40 @@ class ParentTrainer:
                 f"{n_shards}"
             )
 
-        def loss_fn(params, imgs, labels, seeds):
+        def _augment(imgs, labels, seeds):
             def aug_one(seed, img, label):
                 key = jax.random.PRNGKey(seed)
                 return transforms.augment_frame(key, img, label, cfg.augment)
 
             imgs, labels = jax.vmap(aug_one)(seeds, imgs, labels)
-            imgs = transforms.normalize(imgs, cfg.normalize_mode)
-            valid = labels != 255
-            gts = jnp.where(valid, labels, 0).astype(jnp.float32)
-            logits = model_apply(params, imgs)[..., 0]
-            return loss_ops.compute_loss(cfg.loss_func, logits, gts, valid)
+            return transforms.normalize(imgs, cfg.normalize_mode), labels
+
+        if cfg.task == "detection":
+            def loss_fn(params, imgs, labels, seeds):
+                imgs, labels = _augment(imgs, labels, seeds)
+                # id-label [B,H,W] -> per-object binary masks [B,O,H,W]
+                # with warp-border 255-ignore propagated to every slot
+                oid = jnp.arange(1, cfg.max_objects + 1)[None, :, None, None]
+                lab = labels[:, None]
+                gt_masks = jnp.where(
+                    lab == 255, 255.0, (lab == oid).astype(jnp.float32)
+                )
+                gt_valid = jnp.any(gt_masks == 1.0, axis=(2, 3))
+                k_sample = jax.random.fold_in(
+                    jax.random.PRNGKey(cfg.seed), seeds[0]
+                )
+                total, _ = model_apply(
+                    params, imgs, gt_masks, gt_valid, train=True,
+                    rngs={"sample": k_sample},
+                )
+                return total
+        else:
+            def loss_fn(params, imgs, labels, seeds):
+                imgs, labels = _augment(imgs, labels, seeds)
+                valid = labels != 255
+                gts = jnp.where(valid, labels, 0).astype(jnp.float32)
+                logits = model_apply(params, imgs)[..., 0]
+                return loss_ops.compute_loss(cfg.loss_func, logits, gts, valid)
 
         def local_step(params, opt_state, imgs, labels, seeds):
             loss, grads = jax.value_and_grad(loss_fn)(params, imgs, labels, seeds)

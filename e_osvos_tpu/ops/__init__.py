@@ -2,4 +2,4 @@
 padded NMS, ROI-align) — the reference's native torchvision/CUDA surface
 rebuilt as static-shape XLA (SURVEY.md §2.4)."""
 
-from e_osvos_tpu.ops import boxes, losses, metrics, nms, roi_align  # noqa: F401
+from e_osvos_tpu.ops import bits, boxes, losses, metrics, nms, roi_align  # noqa: F401

@@ -1,25 +1,36 @@
 """e-OSVOS-T runtime curve: s/frame vs fine-tune steps T on one TPU chip.
 
 Reproduces the reference's paper-figure sweep (BASELINE.md rows 9-10:
-s/frame = 0.14 / 0.164 / 0.18 / 0.234 / 0.397 / 0.69 at
-T = 1 / 5 / 10 / 20 / 50 / 100 on V100). No online adaptation, matching
-the reference sweep configuration. Writes jsonl rows + prints a table.
+s/frame = 0.14 / 0.164 / 0.18 / 0.234 / 0.397 / 0.69 / 2.96 at
+T = 1 / 5 / 10 / 20 / 50 / 100 / 500 on V100). No online adaptation,
+matching the reference sweep configuration. Writes jsonl rows + prints a
+table; rows merge into an existing BENCH_SWEEP.json.
 
-Run on real TPU:  python scripts/bench_sweep.py
+Run on real TPU:  python scripts/bench_sweep.py [--only 500 ...]
 """
 
+import argparse
 import json
+import os
 import sys
 import time
 
 sys.path.insert(0, ".")
 
 import jax
-import jax.numpy as jnp
-import numpy as np
+
+jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_bench_cache")
+
+import jax.numpy as jnp  # noqa: E402
+import numpy as np  # noqa: E402
 
 REFERENCE_S_PER_FRAME = {1: 0.14, 5: 0.164, 10: 0.18, 20: 0.234, 50: 0.397,
-                         100: 0.69}
+                         100: 0.69, 500: 2.96}
+
+_ap = argparse.ArgumentParser()
+_ap.add_argument("--only", type=int, nargs="*", default=None,
+                 help="run only these T values (others keep existing rows)")
+ARGS = _ap.parse_args()
 
 
 def main():
@@ -45,12 +56,15 @@ def main():
     key = jax.random.PRNGKey(0)
 
     rows = []
-    for T in (1, 5, 10, 20, 50, 100):
+    todo = ARGS.only if ARGS.only else (1, 5, 10, 20, 50, 100, 500)
+    for T in todo:
         cfg = OneShotConfig(num_epochs=T, batch_size=3, loss_func="dice",
                             augment=AugmentConfig())
         ev = OneShotEvaluator(model.apply, meta_cfg, cfg)
 
         def run(name):
+            from e_osvos_tpu.ops.bits import pack_mask_bits, unpack_mask_bits
+
             seq = index.sequences[name]
             frames = jnp.asarray(
                 np.stack([index.get_image(name, t) for t in range(len(seq))])
@@ -59,7 +73,10 @@ def main():
                 index, seq, frames, seq.object_groups[0], meta_params, key,
                 None,
             )
-            return np.asarray((probs >= 0.5).astype(jnp.uint8))
+            # bit-packed wire transfer + host unpack inside the timed
+            # region (ops/bits.py; see bench.py for the rationale)
+            packed = pack_mask_bits(probs >= 0.5)
+            return unpack_mask_bits(np.asarray(packed), probs.shape[-1])
 
         run("seq00")  # warm
         best = float("inf")
@@ -76,8 +93,15 @@ def main():
         rows.append(row)
         print(json.dumps(row), flush=True)
 
+    # merge with any existing rows (so --only runs update in place)
+    merged = {}
+    if os.path.exists("BENCH_SWEEP.json"):
+        for r in json.load(open("BENCH_SWEEP.json")):
+            merged[r["T"]] = r
+    for r in rows:
+        merged[r["T"]] = r
     with open("BENCH_SWEEP.json", "w") as f:
-        json.dump(rows, f, indent=1)
+        json.dump([merged[t] for t in sorted(merged)], f, indent=1)
 
 
 if __name__ == "__main__":

@@ -23,6 +23,11 @@ _ap.add_argument("--size", type=int, default=64, help="frame side length")
 _ap.add_argument("--iters", type=int, default=60)
 _ap.add_argument("--arch", default="resnet10")
 _ap.add_argument("--num-train-seqs", type=int, default=6)
+_ap.add_argument("--parent-iters", type=int, default=0,
+                 help="supervised detection parent-training iterations "
+                 "before meta-training (the in-environment analog of the "
+                 "reference's COCO seed, helper_func.py:339-346); 0 = "
+                 "from-scratch (the round-2 calibration)")
 ARGS = _ap.parse_args()
 
 if not ARGS.tpu:
@@ -83,6 +88,33 @@ def main():
                                   num_objects=1, seed=0)
     held = SyntheticVOSIndex(num_sequences=2, num_frames=4, size=SIZE,
                              num_objects=1, seed=100, name_prefix="held")
+
+    if ARGS.parent_iters > 0:
+        from e_osvos_tpu.engine.parent_trainer import (
+            InstanceFrameSampler,
+            ParentTrainConfig,
+            ParentTrainer,
+        )
+
+        n_sh = min(4, jax.device_count())
+        pt = ParentTrainer(
+            model_apply=model.apply,
+            params=variables,
+            sampler=InstanceFrameSampler([train_idx], SIZE, max_objects=1,
+                                         seed=0),
+            cfg=ParentTrainConfig(
+                task="detection", max_objects=1, batch_size=4 * n_sh,
+                lr=1e-3, crop_size=SIZE, log_interval=10,
+                snapshot_interval=10**9, augment=MILD,
+            ),
+            mesh=make_mesh(num_tasks=n_sh, devices=jax.devices()[:n_sh]),
+            logger=MetricsLogger(echo=True),
+        )
+        t0 = time.time()
+        last = pt.run(ARGS.parent_iters)
+        print(f"parent-train done in {time.time()-t0:.1f}s, "
+              f"loss={last['loss']:.4f}", flush=True)
+        variables = pt.params
     taskset = MetaTaskset(
         [train_idx], MetaTasksetConfig(num_query_frames=1, crop_size=SIZE),
         seed=0,
@@ -124,10 +156,11 @@ def main():
 
     t0 = time.time()
     js = eval_all(trainer.meta_params, "meta")
-    js0 = eval_all(init_meta_params(meta_cfg, variables), "rand")
+    js0 = eval_all(init_meta_params(meta_cfg, variables), "seed-init")
     print(f"eval done in {time.time()-t0:.1f}s", flush=True)
-    print(f"meta-trained J: {np.mean(js):.4f}  random-init J: "
-          f"{np.mean(js0):.4f}", flush=True)
+    print(f"meta-trained J: {np.mean(js):.4f}  "
+          f"pre-meta (parent or random) init J: {np.mean(js0):.4f}",
+          flush=True)
 
 
 if __name__ == "__main__":

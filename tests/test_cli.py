@@ -271,6 +271,58 @@ class TestCliEndToEnd:
                 f"save_dir={tmp_path}/eval2",
             ])
 
+    def test_detection_parent_then_eval(self, tmp_path):
+        """Detection parent pre-training → one-shot detection eval, chained
+        through the CLIs. The reference's equivalent of step 1 is
+        downloading COCO weights (helper_func.py:339-346); this environment
+        has no COCO, so the framework must be able to TRAIN the detection
+        parent (InstanceFrameSampler + ParentTrainer task='detection') and
+        the evaluate CLI must load that checkpoint into the Mask R-CNN
+        template."""
+        import json
+
+        import numpy as np
+
+        from e_osvos_tpu.cli import evaluate as eval_cli
+        from e_osvos_tpu.cli import train_parent as tp_cli
+
+        arch = [
+            "parent_model.architecture=MaskRCNN",
+            "parent_model.encoder=resnet10",
+            "parent_model.backbone_norm=group4",
+            "parent_model.dtype=float32",
+            "parent_model.rpn.anchor_sizes=[8,16,32,64,128]",
+            "parent_model.rpn.pre_nms_top_n=64",
+            "parent_model.rpn.post_nms_top_n=32",
+            "parent_model.rpn.batch_size_per_image=32",
+            "parent_model.roi.batch_size_per_image=16",
+            "parent_model.detections_per_img=2",
+        ]
+        tp_cli.main([
+            "with", "Synthetic", *arch,
+            "parent.num_iters=2",
+            "parent.batch_size=8",
+            "parent.max_objects=2",
+            "parent.log_interval=1",
+            "data_cfg.crop_sizes.train=[64,64]",
+            f"save_dir={tmp_path}/parent",
+        ])
+        parent_ckpt = tmp_path / "parent" / "parent_final.ckpt"
+        assert parent_ckpt.exists()
+
+        eval_cli.main([
+            "with", "Synthetic", *arch,
+            f"parent_model.checkpoint={parent_ckpt}",
+            "data_cfg.init_hw=[64,64]",
+            "num_epochs.eval=1",
+            f"save_dir={tmp_path}/eval",
+        ])
+        lines = [json.loads(l) for l in
+                 (tmp_path / "eval" / "eval_metrics.jsonl")
+                 .read_text().splitlines()]
+        seqs = [l for l in lines if l["event"] == "eval_seq"]
+        assert seqs and all(np.isfinite(l["J_mean"]) for l in seqs)
+
 
 class TestInterleavedEval:
     def test_train_meta_with_eval_interval(self, tmp_path):

@@ -145,3 +145,72 @@ class TestDavisDiskEndToEnd:
             arr = np.asarray(Image.open(p))
             assert arr.shape == (HW, HW)
             assert set(np.unique(arr)) <= {0, 1, 2}
+
+
+@pytest.fixture(scope="module")
+def hetero_disk_tree(tmp_path_factory):
+    """Two sequences at DIFFERENT native resolutions (YT-VOS validates at
+    native size, youtube.py:58-109) — neither divisible by the model
+    stride, so this also proves bucketing makes odd geometries runnable."""
+    root = tmp_path_factory.mktemp("hetero") / "DAVIS"
+    rng = np.random.RandomState(3)
+    for seq, (h, w) in [("small", (44, 60)), ("tiny", (42, 58))]:
+        jd = root / "JPEGImages" / "480p" / seq
+        ad = root / "Annotations" / "480p" / seq
+        jd.mkdir(parents=True)
+        ad.mkdir(parents=True)
+        for t in range(FRAMES):
+            img = rng.randint(40, 80, (h, w, 3), np.uint8)
+            lbl = np.zeros((h, w), np.uint8)
+            x = 4 + 5 * t
+            img[10:24, x:x + 14] = (220, 60, 60)
+            lbl[10:24, x:x + 14] = 1
+            Image.fromarray(img).save(jd / f"{t:05d}.jpg", quality=95)
+            im = Image.fromarray(lbl, mode="P")
+            im.putpalette(_PALETTE)
+            im.save(ad / f"{t:05d}.png")
+    sets = root / "ImageSets" / "2017"
+    sets.mkdir(parents=True)
+    (sets / "val.txt").write_text("small\ntiny\n")
+    return str(root)
+
+
+@pytest.mark.slow
+class TestHeterogeneousResolutionCLI:
+    def test_bucketed_eval_two_resolutions(self, hetero_disk_tree, tmp_path):
+        """eval_pad_multiple buckets both native resolutions to (48, 64):
+        ONE set of compiled programs serves both sequences, predictions
+        export at each sequence's ORIGINAL geometry, J/F finite."""
+        from e_osvos_tpu.cli import evaluate as eval_cli
+
+        eval_cli.main([
+            "with",
+            "datasets.val.name=DAVIS-2017",
+            "datasets.val.split=val",
+            f"datasets.val.root={hetero_disk_tree}",
+            "data_cfg.multi_object=single_id",
+            "data_cfg.init_hw=[48,64]",
+            "parent_model.encoder=resnet10",
+            "parent_model.backbone_norm=group4",
+            "parent_model.dtype=float32",
+            "parent_model.architecture=DeepLabV3",
+            "parent_model.decoder_norm_layer=group4",
+            "num_epochs.eval=2",
+            "eval_online_adapt.step=2",
+            "eval_online_adapt.num_epochs=1",
+            "eval_pad_multiple=16",
+            f"save_dir={tmp_path}",
+            f"save_preds={tmp_path}/preds",
+        ])
+        seqs, total = _read_metrics(tmp_path)
+        assert set(seqs) == {"small", "tiny"}
+        assert total and total[0]["num_sequences"] == 2
+        for row in seqs.values():
+            assert np.isfinite(row["J_mean"]) and 0.0 <= row["J_mean"] <= 1.0
+        # predictions come back at each sequence's native geometry
+        for seq, (h, w) in [("small", (44, 60)), ("tiny", (42, 58))]:
+            for t in range(FRAMES):
+                arr = np.asarray(Image.open(
+                    tmp_path / "preds" / seq / f"{t:05d}.png"
+                ))
+                assert arr.shape == (h, w)

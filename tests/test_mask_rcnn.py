@@ -381,6 +381,87 @@ class TestDetectionObjectBatched:
         assert np.isfinite(res["probs"]).all()
 
 
+class TestDetectionObjectSharded:
+    """Object-axis-sharded detection eval
+    (one_shot_detection.py::_install_object_sharding): sharded over the
+    8-device CPU mesh must equal single-device, including the pad-to-
+    shard-multiple path (2 objects → 8 shards) — the detection mirror of
+    TestFrameParallelEval."""
+
+    def _setup(self, ona, mesh=None):
+        from e_osvos_tpu.data.synthetic import SyntheticVOSIndex
+        from e_osvos_tpu.data.transforms import AugmentConfig
+        from e_osvos_tpu.engine.one_shot_detection import (
+            DetectionOneShotConfig,
+            DetectionOneShotEvaluator,
+        )
+        from e_osvos_tpu.meta_optim import MetaOptimConfig, init_meta_params
+
+        model = tiny_model()
+        variables = model.init(
+            {"params": jax.random.PRNGKey(0), "sample": jax.random.PRNGKey(1)},
+            jnp.zeros((1, SIZE, SIZE, 3), jnp.float32),
+        )
+        meta_cfg = MetaOptimConfig(init_lr=1e-3, use_log_init_lr=False)
+        meta_params = init_meta_params(meta_cfg, variables)
+        cfg = DetectionOneShotConfig(
+            num_epochs=2, batch_size=2,
+            online_adapt_step=2 if ona else 0,
+            online_adapt_epochs=1,
+            augment=AugmentConfig(scale_min=0.95, scale_max=1.05,
+                                  rot_deg=5.0, flip_prob=0.0),
+        )
+        ev = DetectionOneShotEvaluator(model, meta_cfg, cfg, mesh=mesh)
+        index = SyntheticVOSIndex(num_sequences=1, num_frames=4,
+                                  size=(SIZE, SIZE), num_objects=2, seed=4)
+        return ev, index, meta_params
+
+    def test_sharded_matches_single_device(self):
+        from e_osvos_tpu.parallel import make_mesh
+
+        ev, index, meta_params = self._setup(ona=False)
+        evs, _, _ = self._setup(ona=False, mesh=make_mesh())
+        assert evs._shard_n == 8
+        r1 = ev.eval_sequence(index, "seq00", meta_params,
+                              jax.random.PRNGKey(7))
+        r2 = evs.eval_sequence(index, "seq00", meta_params,
+                               jax.random.PRNGKey(7))
+        assert r2["probs"].shape == r1["probs"].shape == (2, 4, SIZE, SIZE)
+        # tolerance note: each shard compiles a PLAIN per-object conv while
+        # the single-device vmap compiles a grouped conv
+        # (feature_group_count=O) — different fp32 reassociation, amplified
+        # through the fine-tune gradient steps. Observed max |Δprob| ≈ 4e-3
+        # at mask boundaries; an object-routing bug would be O(1) everywhere.
+        np.testing.assert_allclose(r2["probs"], r1["probs"], atol=2e-2)
+        merged_diff = (np.asarray(r1["merged"]) != np.asarray(r2["merged"]))
+        assert merged_diff.mean() < 0.01
+        assert abs(r1["J_mean"] - r2["J_mean"]) < 0.01
+
+    @pytest.mark.slow
+    def test_sharded_matches_single_device_with_ona(self):
+        from e_osvos_tpu.parallel import make_mesh
+
+        ev, index, meta_params = self._setup(ona=True)
+        evs, _, _ = self._setup(ona=True, mesh=make_mesh())
+        r1 = ev.eval_sequence(index, "seq00", meta_params,
+                              jax.random.PRNGKey(7))
+        r2 = evs.eval_sequence(index, "seq00", meta_params,
+                               jax.random.PRNGKey(7))
+        # OnA is chaotically divergent under compilation numerics: the
+        # pseudo-GT binarization is discontinuous, so the grouped-vs-plain-
+        # conv fp32 differences (see test_sharded_matches_single_device) can
+        # flip boundary pixels of the pseudo label, giving genuinely
+        # different refit targets. Assert statistical agreement — an
+        # object-ROUTING bug would move whole-object probability mass
+        # (>>2% of pixels off by O(1)), not a boundary halo.
+        assert r2["probs"].shape == r1["probs"].shape
+        d = np.abs(np.asarray(r1["probs"]) - np.asarray(r2["probs"]))
+        assert (d > 0.3).mean() < 0.02
+        merged_diff = (np.asarray(r1["merged"]) != np.asarray(r2["merged"]))
+        assert merged_diff.mean() < 0.05
+        assert abs(r1["J_mean"] - r2["J_mean"]) < 0.05
+
+
 class TestDetectionInitJ:
     def test_eval_sequence_init(self, model_and_vars):
         """init_J for the detection path: raw init + box-carry tracking,

@@ -252,3 +252,72 @@ class TestInitJ:
         res2 = ev.eval_sequence_init(idx, "seq00", meta_params,
                                      init_params=params)
         assert np.isfinite(res2["init_J_mean"])
+
+
+class TestResolutionBucketing:
+    """pad_multiple bucketing (one_shot.py::OneShotConfig.pad_multiple):
+    heterogeneous resolutions compile a bounded number of programs, and the
+    scores match the unpadded run on the same frames (probs are cropped
+    back to the original geometry before scoring)."""
+
+    def _ev(self, pad_multiple, model):
+        meta_cfg = MetaOptimConfig(init_lr=0.02)
+        cfg = OneShotConfig(num_epochs=2, batch_size=2, loss_func="dice",
+                            augment=MILD_AUG, pad_multiple=pad_multiple)
+        return OneShotEvaluator(lambda p, x: model.apply(p, x), meta_cfg, cfg)
+
+    def test_bucket_count_bounded(self):
+        """Two different native resolutions that share one bucket must
+        compile exactly ONE segmentation and ONE fine-tune program."""
+        model = tiny_model()
+        params = model.init(jax.random.key(0), jnp.zeros((1, 32, 48, 3)))
+        meta_cfg = MetaOptimConfig(init_lr=0.02)
+        meta_params = init_meta_params(meta_cfg, params)
+        ev = self._ev(16, model)
+        idx_a = SyntheticVOSIndex(num_sequences=1, num_frames=3,
+                                  size=(30, 44), num_objects=1, seed=1,
+                                  name_prefix="a")
+        idx_b = SyntheticVOSIndex(num_sequences=1, num_frames=3,
+                                  size=(28, 42), num_objects=1, seed=2,
+                                  name_prefix="b")
+        ra = ev.eval_sequence(idx_a, "a00", meta_params, jax.random.key(3))
+        rb = ev.eval_sequence(idx_b, "b00", meta_params, jax.random.key(3))
+        # scores are computed on the ORIGINAL geometry
+        assert ra["merged"].shape == (3, 30, 44)
+        assert rb["merged"].shape == (3, 28, 42)
+        # both resolutions land in the (32, 48) bucket → one program each
+        assert ev._jit_seg._cache_size() == 1
+        assert ev._jit_ft._cache_size() == 1
+
+    def test_padded_matches_unpadded_j(self):
+        """Same frames, with and without bucketing: equal J (zero padding
+        only perturbs the conv boundary halo, which the centered synthetic
+        object never touches)."""
+        model = tiny_model()
+        params = model.init(jax.random.key(0), jnp.zeros((1, 32, 48, 3)))
+        meta_cfg = MetaOptimConfig(init_lr=0.02)
+        meta_params = init_meta_params(meta_cfg, params)
+        idx = SyntheticVOSIndex(num_sequences=1, num_frames=4,
+                                size=(30, 44), num_objects=1, seed=5)
+        r_exact = self._ev(0, model).eval_sequence(
+            idx, "seq00", meta_params, jax.random.key(7)
+        )
+        r_bucket = self._ev(16, model).eval_sequence(
+            idx, "seq00", meta_params, jax.random.key(7)
+        )
+        assert r_bucket["merged"].shape == r_exact["merged"].shape
+        assert abs(r_bucket["J_mean"] - r_exact["J_mean"]) < 0.02
+
+    def test_helpers(self):
+        from e_osvos_tpu.data import transforms
+
+        assert transforms.bucket_hw(30, 44, 16) == (32, 48)
+        assert transforms.bucket_hw(32, 48, 16) == (32, 48)
+        frames = jnp.ones((2, 30, 44, 3))
+        padded = transforms.pad_frames_to_multiple(frames, 16)
+        assert padded.shape == (2, 32, 48, 3)
+        assert float(padded[:, 30:].sum()) == 0.0
+        lab = jnp.zeros((30, 44), jnp.int32)
+        plab = transforms.pad_label_to(lab, (32, 48))
+        assert plab.shape == (32, 48)
+        assert int(plab[31, 0]) == 255 and int(plab[0, 47]) == 255
