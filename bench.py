@@ -74,7 +74,10 @@ def main():
         online_adapt_min_prop=0.75,
         augment=AugmentConfig(),
     )
-    evaluator = OneShotEvaluator(model.apply, meta_cfg, cfg)
+    # fused_ona: the whole windowed OnA propagation is ONE lax.scan program
+    # (one dispatch per sequence instead of ~12 eager ops per 5-frame
+    # window — dispatch RPCs are a real cost under a remote runtime)
+    evaluator = OneShotEvaluator(model.apply, meta_cfg, cfg, fused_ona=True)
 
     index = SyntheticVOSIndex(
         num_sequences=4, num_frames=T, size=(H, W), num_objects=1, seed=0
@@ -82,18 +85,30 @@ def main():
 
     key = jax.random.PRNGKey(0)
 
+    from e_osvos_tpu.ops.bits import pack_mask_bits, unpack_mask_bits
+
+    # threshold + bit-pack as ONE jitted program: eager ops dispatch one
+    # tunnel round-trip each, which costs more than the 27 MB they save
+    # (measured: eager packing regressed the headline 6.1 → 3.7 fps)
+    thresh_pack = jax.jit(
+        lambda p: pack_mask_bits(p >= evaluator.cfg.threshold)
+    )
+
     def run_seq(name):
         """The reference's timed region (evaluate.py:152,319-320): fine-tune
         + propagate + OnA re-fits for one sequence/object group; J/F scoring
         is outside the timer there and here."""
-        from e_osvos_tpu.ops.bits import pack_mask_bits, unpack_mask_bits
-
         seq = index.sequences[name]
+        group = seq.object_groups[0]
+        # support frame uploaded FIRST as its own small transfer: the
+        # fine-tune runs while the full [T,H,W,3] stack streams up
+        sup = jnp.asarray(index.get_image(name, group.support_frame))
         frames = jnp.asarray(
             np.stack([index.get_image(name, t) for t in range(len(seq))])
         )
         probs = evaluator._eval_object_group(
-            index, seq, frames, seq.object_groups[0], meta_params, key, None
+            index, seq, frames, group, meta_params, key, None,
+            support_img=sup,
         )
         # The deliverable is the segmentation mask (the reference exports
         # uint8 indexed PNGs, evaluate.py:332-342); materializing it on the
@@ -101,8 +116,8 @@ def main():
         # block_until_ready returns before execution finishes. The mask
         # crosses the wire bit-packed (8 px/byte, ops/bits.py) and is
         # unpacked to full uint8 INSIDE the timed region.
-        packed = pack_mask_bits(probs >= evaluator.cfg.threshold)
-        return unpack_mask_bits(np.asarray(packed), probs.shape[-1])
+        return unpack_mask_bits(np.asarray(thresh_pack(probs)),
+                                probs.shape[-1])
 
     run_seq("seq00")  # warmup: compiles fine-tune, window-infer, OnA-refit
 

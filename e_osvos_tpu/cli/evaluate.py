@@ -67,8 +67,14 @@ def build_evaluator(cfg, model):
             ona_reset_mode=str(ona.get("reset_model_mode", "FIRST_STEP")),
             ona_only_box_head=bool(ona.get("only_box_head", False)),
         )
-        return DetectionOneShotEvaluator(model, meta_cfg, det_cfg, mesh=mesh)
-    return OneShotEvaluator(model.apply, meta_cfg, one_shot_cfg, mesh=mesh)
+        return DetectionOneShotEvaluator(
+            model, meta_cfg, det_cfg, mesh=mesh,
+            fused_ona=bool(cfg.get("eval_fused_ona", True)),
+        )
+    return OneShotEvaluator(
+        model.apply, meta_cfg, one_shot_cfg, mesh=mesh,
+        fused_ona=bool(cfg.get("eval_fused_ona", True)),
+    )
 
 
 def main(argv=None):

@@ -191,6 +191,9 @@ def to_one_shot_config(cfg: Dict) -> OneShotConfig:
         # resolution bucketing for heterogeneous-resolution datasets
         # (one_shot.py::OneShotConfig.pad_multiple); 0 = exact shapes
         pad_multiple=int(cfg.get("eval_pad_multiple", 0) or 0),
+        # fused-OnA window-count bucketing: bounded compile count for
+        # heterogeneous-LENGTH datasets (one_shot.py ona_window_bucket)
+        ona_window_bucket=int(cfg.get("eval_ona_window_bucket", 0) or 0),
     )
 
 

@@ -41,6 +41,7 @@ from e_osvos_tpu.meta_optim import (
 )
 from e_osvos_tpu.ops import losses as loss_ops
 from e_osvos_tpu.ops import metrics as metric_ops
+from e_osvos_tpu.ops.bits import unpack_mask_bits as unpack_bits_host
 
 Array = jax.Array
 
@@ -68,6 +69,13 @@ class OneShotConfig:
     # segmentation threshold for binary masks
     threshold: float = 0.5
     normalize_mode: str = "davis"
+    # fused-OnA window-count bucketing: pad the window axis up to a
+    # multiple of this (whole replicated trailing windows, refits gated
+    # off past the real count) so a heterogeneous-LENGTH dataset compiles
+    # a bounded number of fused programs; 0 = exact window count. Cropped
+    # outputs are bit-identical either way (window i depends only on
+    # refits of windows < i).
+    ona_window_bucket: int = 0
     # resolution bucketing for heterogeneous-resolution eval (YT-VOS
     # validates at native size, youtube.py:58-109): pad frames to the next
     # multiple so the number of compiled programs is bounded by the bucket
@@ -187,6 +195,185 @@ def pseudo_ignore_padding(pseudo: Array, orig_hw) -> Array:
     return pseudo.at[..., :, w0:].set(255)
 
 
+def make_ona_refit_fn(
+    model_apply: Callable,
+    meta_cfg: MetaOptimConfig,
+    cfg: OneShotConfig,
+) -> Callable:
+    """Online-adaptation re-fit: ``online_adapt_epochs`` deterministic
+    learned-SGD steps on (support + pseudo-GT) with FIRST_STEP continuation
+    (reset_model_mode, evaluate.py:196-205). Pure; callable inside jit."""
+    loss_fn = make_pseudo_gt_loss_fn(model_apply, cfg)
+
+    def refit(meta_params, img, label, prop_imgs, prop_labels, params):
+        n = cfg.online_adapt_epochs
+        batches = (
+            jnp.broadcast_to(img, (n,) + img.shape),
+            jnp.broadcast_to(label, (n,) + label.shape),
+            jnp.broadcast_to(prop_imgs, (n,) + prop_imgs.shape),
+            jnp.broadcast_to(prop_labels, (n,) + prop_labels.shape),
+        )
+        return fine_tune(
+            meta_cfg,
+            loss_fn,
+            meta_params,
+            batches,
+            init_params=params,
+            early_stop_patience=cfg.early_stop_patience,
+            reset=False,
+        )[0]
+
+    return refit
+
+
+def build_pseudo_gt(w_probs: Array, min_prop: float, orig_hw) -> Array:
+    """Propagated predictions → pseudo ground truth (evaluate.py:215-253):
+    prob ≥ min_prop → 1, ≤ 1-min_prop → 0, else 255 (ignore); frames with
+    no confident foreground become all-255 (the reference skips them);
+    bucket-padded pixels are always 255. w_probs: [K,H,W]."""
+    pseudo = jnp.where(
+        w_probs >= min_prop,
+        1,
+        jnp.where(w_probs <= 1.0 - min_prop, 0, 255),
+    ).astype(jnp.int32)
+    pseudo = pseudo_ignore_padding(pseudo, orig_hw)
+    has_fg = jnp.any(pseudo == 1, axis=(1, 2))
+    return jnp.where(has_fg[:, None, None], pseudo, 255)
+
+
+def propagate_windows_fused(
+    model_apply: Callable,
+    meta_cfg: MetaOptimConfig,
+    cfg: OneShotConfig,
+    orig_hw,
+    meta_params: MetaParams,
+    support_img: Array,
+    support_label: Array,
+    windows: Array,
+    params: Any,
+    wn_real: Array,
+) -> Tuple[Array, Any]:
+    """The ENTIRE online-adaptation propagation as one XLA program.
+
+    The host-loop formulation dispatches ~10 eager ops per 5-frame window
+    (slices, pseudo-GT construction, scatter) — each a device round-trip,
+    which dominates small-T runtimes under a remote runtime. Here the
+    window loop is a ``lax.scan``: segment the window, build pseudo-GT from
+    its tail, re-fit (skipped from the last REAL window on via
+    ``lax.cond``, matching the host loop's ``end < T`` guard), carry the
+    params. One dispatch per sequence instead of ~12 per window.
+
+    windows: [Wn, step, H, W, 3] raw frames AFTER the support frame, the
+    tail window padded by replicating the last real frame (padded outputs
+    are cropped by the caller). ``wn_real`` (traced int32) is the number
+    of windows holding real frames: window-count bucketing
+    (``stack_windows(..., bucket=...)``) pads Wn so heterogeneous-length
+    datasets compile a bounded number of programs, and because window i's
+    probabilities depend only on refits of windows < i, cropped outputs
+    are bit-identical to the unbucketed program. Returns
+    ([Wn*step, H, W] probs, params).
+    """
+    refit = make_ona_refit_fn(model_apply, meta_cfg, cfg)
+    k = min(cfg.online_adapt_step, cfg.batch_size)
+    wn = windows.shape[0]
+
+    def body(params, xs):
+        window, i = xs
+        w_probs = segment_frames(model_apply, cfg, params, window)
+        pseudo = build_pseudo_gt(
+            w_probs[-k:], cfg.online_adapt_min_prop, orig_hw
+        )
+        new_params = jax.lax.cond(
+            i < wn_real - 1,
+            lambda p: refit(
+                meta_params, support_img, support_label, window[-k:],
+                pseudo, p,
+            ),
+            lambda p: p,
+            params,
+        )
+        return new_params, w_probs
+
+    params, probs = jax.lax.scan(body, params, (windows, jnp.arange(wn)))
+    return probs.reshape((-1,) + probs.shape[2:]), params
+
+
+def stack_windows(
+    frames_rest: Array, step: int, bucket: int = 0
+) -> Tuple[Array, int, int]:
+    """[R,H,W,3] → [Wn,step,H,W,3] for the fused window scan, tail padded
+    by replicating the last real frame. ``bucket`` > 0 additionally pads
+    the WINDOW COUNT up to a multiple of ``bucket`` (whole replicated
+    windows), bounding the number of compiled fused programs across a
+    heterogeneous-length dataset. Returns (windows, R, wn_real) where
+    wn_real is the window count before bucketing."""
+    r = frames_rest.shape[0]
+    pad = (-r) % step
+    if pad:
+        tail = jnp.broadcast_to(
+            frames_rest[-1:], (pad,) + tuple(frames_rest.shape[1:])
+        )
+        frames_rest = jnp.concatenate([frames_rest, tail], axis=0)
+    wn_real = frames_rest.shape[0] // step
+    wn = wn_real
+    if bucket:
+        wn = -(-wn_real // bucket) * bucket
+        if wn != wn_real:
+            extra = jnp.broadcast_to(
+                frames_rest[-1:],
+                ((wn - wn_real) * step,) + tuple(frames_rest.shape[1:]),
+            )
+            frames_rest = jnp.concatenate([frames_rest, extra], axis=0)
+    return (
+        frames_rest.reshape((wn, step) + frames_rest.shape[1:]),
+        r,
+        wn_real,
+    )
+
+
+def one_shot_packed(
+    model_apply: Callable,
+    meta_cfg: MetaOptimConfig,
+    cfg: OneShotConfig,
+    meta_params: MetaParams,
+    key: Array,
+    support_img: Array,
+    support_label: Array,
+    frames: Array,
+    init_params: Any = None,
+) -> Array:
+    """One-shot fine-tune → full-sequence inference → threshold → bit-pack
+    as ONE XLA program.
+
+    This is the e-OSVOS-T deliverable (fine-tune on the support frame, then
+    propagate, evaluate.py:152,319-320) collapsed to a single dispatch: no
+    intermediate host↔device round-trip exists between the learned-SGD scan
+    and the packed wire mask (8 px/byte, ops/bits.py). Under a remote
+    runtime, round-trips — not FLOPs — dominate small-T evaluation
+    (PERF.md small-T attribution), so the whole sequence costs one async
+    dispatch + one packed fetch. Returns uint8 [T, H, ceil(W/8)].
+    """
+    from e_osvos_tpu.ops.bits import pack_mask_bits
+
+    params, _ = fine_tune_on_support(
+        model_apply, meta_cfg, cfg, meta_params, key, support_img,
+        support_label, init_params,
+    )
+    probs = segment_frames(model_apply, cfg, params, frames)
+    return pack_mask_bits(probs >= cfg.threshold)
+
+
+def _pad_frame_np(img: np.ndarray, hw) -> np.ndarray:
+    """Zero-pad one [H,W,3] host frame bottom/right to the device
+    geometry (bucket padding) before its standalone upload."""
+    th, tw = hw
+    if img.shape[:2] == (th, tw):
+        return img
+    return np.pad(
+        img, ((0, th - img.shape[0]), (0, tw - img.shape[1]), (0, 0))
+    )
+
+
 def merge_objects(probs: Array, threshold: float = 0.5) -> Array:
     """Per-pixel argmax over per-object probability maps with background
     threshold (evaluate.py:322-326). probs: [O,H,W] (or [O,T,H,W]) →
@@ -209,11 +396,18 @@ class OneShotEvaluator:
         cfg: OneShotConfig,
         batch_objects: bool = True,
         mesh: Optional[Any] = None,
+        fused_ona: bool = False,
     ):
         self.model_apply = model_apply
         self.meta_cfg = meta_cfg
         self.cfg = cfg
         self.batch_objects = batch_objects
+        # fused single-program OnA propagation (propagate_windows_fused);
+        # the frame-sharded path keeps the host window loop, and tests use
+        # fused_ona=False as the reference formulation
+        self.fused_ona = fused_ona and cfg.online_adapt_step > 0
+        self._fused_cache: Dict[Any, Callable] = {}
+        self._jit_stream: Optional[Callable] = None
         self._jit_ft = jax.jit(
             partial(fine_tune_on_support, model_apply, meta_cfg, cfg)
         )
@@ -279,6 +473,30 @@ class OneShotEvaluator:
         )
         if mesh is not None:
             self._install_frame_sharding(mesh)
+            # windows are sequential; frame-parallel inference already owns
+            # the throughput win on the sharded path
+            self.fused_ona = False
+
+    def _fused_propagate(self, orig_hw, batched: bool) -> Callable:
+        """Jitted propagate_windows_fused, cached per (orig_hw, batched).
+        orig_hw is static (bucket-crop geometry baked into the program);
+        ``batched`` vmaps the object axis over (support_label, params)."""
+        key = (orig_hw, batched)
+        fn = self._fused_cache.get(key)
+        if fn is None:
+            base = partial(
+                propagate_windows_fused, self.model_apply, self.meta_cfg,
+                self.cfg, orig_hw,
+            )
+            if batched:
+                base = jax.vmap(
+                    base, in_axes=(None, None, 0, None, 0, None)
+                )
+            fn = jax.jit(base, donate_argnums=(4,))
+            self._fused_cache[key] = fn
+        return fn
+
+    _stack_windows = staticmethod(stack_windows)
 
     def _install_frame_sharding(self, mesh) -> None:
         """Frame-parallel inference over a device mesh.
@@ -344,19 +562,33 @@ class OneShotEvaluator:
         seq = index.sequences[seq_name]
         T = len(seq)
         # native threaded prefetch when the sequence is JPEG-backed
-        frames_j = jnp.asarray(load_frames(index, seq_name))
-        h0, w0 = frames_j.shape[1], frames_j.shape[2]
+        frames_np = load_frames(index, seq_name)
+        h0, w0 = frames_np.shape[1], frames_np.shape[2]
+        hw_dev = (
+            transforms.bucket_hw(h0, w0, self.cfg.pad_multiple)
+            if self.cfg.pad_multiple else (h0, w0)
+        )
+        groups = seq.object_groups
+        # upload-overlap: the support frame(s) go up FIRST as their own
+        # small transfers, so the one-shot fine-tune dispatches (and runs)
+        # while the full [T,H,W,3] stack — the dominant wire cost at small
+        # T, see PERF.md small-T attribution — streams up concurrently
+        sup_dev = {
+            sf: jnp.asarray(_pad_frame_np(frames_np[sf], hw_dev))
+            for sf in {g.support_frame for g in groups}
+        }
+        frames_j = jnp.asarray(frames_np)
         if self.cfg.pad_multiple:
             frames_j = transforms.pad_frames_to_multiple(
                 frames_j, self.cfg.pad_multiple
             )
 
-        groups = seq.object_groups
         same_support = len({g.support_frame for g in groups}) == 1
         if self.batch_objects and len(groups) > 1 and same_support:
             probs = self._eval_objects_batched(
                 index, seq, frames_j, meta_params, key, init_params,
                 orig_hw=(h0, w0),
+                support_img=sup_dev[groups[0].support_frame],
             )  # [O,T,H,W]
         else:
             obj_probs = []
@@ -365,6 +597,7 @@ class OneShotEvaluator:
                 p = self._eval_object_group(
                     index, seq, frames_j, group, meta_params, gkey,
                     init_params, orig_hw=(h0, w0),
+                    support_img=sup_dev[group.support_frame],
                 )
                 obj_probs.append(p)
             probs = jnp.stack(obj_probs)  # [O,T,H,W]
@@ -380,6 +613,67 @@ class OneShotEvaluator:
             "J_mean": float(np.nanmean(j_means)) if j_means else float("nan"),
             "F_mean": float(np.nanmean(f_means)) if f_means else float("nan"),
         }
+
+    def eval_stream(
+        self,
+        index,
+        seq_names,
+        meta_params: MetaParams,
+        key: Array,
+        init_params: Any = None,
+    ) -> Dict[str, np.ndarray]:
+        """Pipelined one-shot segmentation over many sequences (serving
+        mode, no online adaptation; single object group per sequence).
+
+        jax dispatch is asynchronous, so issuing every sequence's fused
+        (fine-tune → segment → threshold → pack) program before fetching
+        ANY result overlaps the three wire phases: sequence k+1's
+        [T,H,W,3] upload streams while sequence k computes, and only
+        bit-packed masks (8 px/byte) come back, drained in order at the
+        end. This is the steady-state deployment shape — the reference's
+        DataLoader worker pool plays the same overlap role on its side
+        (SURVEY.md §2.3). Returns {name: uint8 [T,H,W]} with the support
+        row replaced by GT (evaluate.py protocol: frame 0 is given).
+        """
+        from e_osvos_tpu.data.loader import load_frames
+
+        if self._jit_stream is None:
+            # no donation: the packed output is 24x smaller than the frame
+            # stack, so no buffer could be reused anyway (XLA frees the
+            # stack as soon as the last segment batch consumes it)
+            self._jit_stream = jax.jit(
+                partial(one_shot_packed, self.model_apply, self.meta_cfg,
+                        self.cfg)
+            )
+        pend = []
+        for i, name in enumerate(seq_names):
+            seq = index.sequences[name]
+            group = seq.object_groups[0]
+            sf = group.support_frame
+            frames_np = load_frames(index, name)
+            gt_bin = binarize_label(index.get_label(name, sf),
+                                    group.object_ids)
+            # support frame first (small), then the full stack (large,
+            # streams while the previous sequence computes)
+            sup = jnp.asarray(frames_np[sf])
+            label = jnp.asarray(gt_bin, jnp.int32)
+            frames_j = jnp.asarray(frames_np)
+            # key schedule mirrors eval_sequence → _eval_object_group:
+            # per-sequence fold, the (single) group's fold, then the
+            # fine-tune split — stream(key) row i equals
+            # eval_sequence(fold_in(key, i)) bit-exactly
+            gkey = jax.random.fold_in(jax.random.fold_in(key, i), 0)
+            k_ft, _ = jax.random.split(gkey)
+            packed = self._jit_stream(
+                meta_params, k_ft, sup, label, frames_j, init_params,
+            )
+            pend.append((name, sf, gt_bin, packed, frames_np.shape[2]))
+        out = {}
+        for name, sf, gt_bin, packed, w in pend:
+            mask = unpack_bits_host(np.asarray(packed), w)
+            mask[sf] = (gt_bin == 1).astype(np.uint8)
+            out[name] = mask
+        return out
 
     def _score_merged(
         self, index, seq_name: str, seq, merged: Array
@@ -454,15 +748,19 @@ class OneShotEvaluator:
         key: Array,
         init_params: Any,
         orig_hw=None,
+        support_img: Optional[Array] = None,
     ) -> Array:
         """All object groups fine-tuned and propagated in ONE vmapped
         program (SURVEY.md §7 step 4: objects as a batch axis), including
         online-adaptation re-fits (the reference loops objects serially,
         evaluate.py:132). Requires a shared support frame (DAVIS protocol).
-        Returns [O,T,H,W] probabilities."""
+        Returns [O,T,H,W] probabilities. ``support_img`` may be a
+        separately-uploaded copy of frames_j[sf] (upload-overlap)."""
         cfg = self.cfg
         groups = seq.object_groups
         sf = groups[0].support_frame
+        if support_img is None:
+            support_img = frames_j[sf]
         gt = index.get_label(seq.name, sf)
         labels = jnp.asarray(
             np.stack([binarize_label(gt, g.object_ids) for g in groups]),
@@ -475,11 +773,24 @@ class OneShotEvaluator:
             jnp.arange(len(groups))
         )
         params_o, _ = self._jit_ft_objs(
-            meta_params, keys, frames_j[sf], labels, init_params
+            meta_params, keys, support_img, labels, init_params
         )
         T = frames_j.shape[0]
         if cfg.online_adapt_step <= 0:
             probs = self._jit_seg_objs(params_o, frames_j)  # [O,T,H,W]
+        elif self.fused_ona and sf + 1 < T:
+            windows, r, wn_real = self._stack_windows(
+                frames_j[sf + 1:], cfg.online_adapt_step,
+                cfg.ona_window_bucket,
+            )
+            w_flat, _ = self._fused_propagate(orig_hw, batched=True)(
+                meta_params, support_img, labels, windows, params_o,
+                jnp.int32(wn_real),
+            )  # [O, Wn*step, H, W]
+            probs = jnp.zeros(
+                (len(groups), T) + frames_j.shape[1:3], jnp.float32
+            )
+            probs = probs.at[:, sf + 1:].set(w_flat[:, :r])
         else:
             O = len(groups)
             probs = jnp.zeros((O, T) + frames_j.shape[1:3], jnp.float32)
@@ -504,7 +815,7 @@ class OneShotEvaluator:
                     has_fg = jnp.any(pseudo == 1, axis=(2, 3))
                     pseudo = jnp.where(has_fg[:, :, None, None], pseudo, 255)
                     params_o = self._jit_ona_ft_objs(
-                        meta_params, frames_j[sf], labels, window[-k:],
+                        meta_params, support_img, labels, window[-k:],
                         pseudo, params_o,
                     )
                 start = end
@@ -524,12 +835,16 @@ class OneShotEvaluator:
         key: Array,
         init_params: Any,
         orig_hw=None,
+        support_img: Optional[Array] = None,
     ) -> Array:
-        """Returns [T,H,W] fg probability for one object group."""
+        """Returns [T,H,W] fg probability for one object group.
+        ``support_img`` may be a separately-uploaded copy of frames_j[sf]
+        (upload-overlap: it reaches the device before the full stack)."""
         cfg = self.cfg
         T = frames_j.shape[0]
         sf = group.support_frame
-        support_img = frames_j[sf]
+        if support_img is None:
+            support_img = frames_j[sf]
         gt = index.get_label(seq.name, sf)
         support_label = transforms.pad_label_to(
             jnp.asarray(binarize_label(gt, group.object_ids), jnp.int32),
@@ -546,6 +861,17 @@ class OneShotEvaluator:
         # appearing mid-sequence, youtube.py:131-185); support frame gets GT
         # (255-void pixels must NOT leak into the probability map)
         probs = probs.at[sf].set((support_label == 1).astype(jnp.float32))
+
+        if self.fused_ona and sf + 1 < T:
+            windows, r, wn_real = self._stack_windows(
+                frames_j[sf + 1:], cfg.online_adapt_step,
+                cfg.ona_window_bucket,
+            )
+            w_flat, _ = self._fused_propagate(orig_hw, batched=False)(
+                meta_params, support_img, support_label, windows, params,
+                jnp.int32(wn_real),
+            )
+            return probs.at[sf + 1:].set(w_flat[:r])
 
         step = cfg.online_adapt_step if cfg.online_adapt_step > 0 else T
         start = sf + 1

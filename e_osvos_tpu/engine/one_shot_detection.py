@@ -27,8 +27,11 @@ from e_osvos_tpu.data import transforms
 from e_osvos_tpu.data.datasets import binarize_label
 from e_osvos_tpu.engine.one_shot import (
     OneShotConfig,
+    _pad_frame_np,
+    build_pseudo_gt,
     merge_objects,
     pseudo_ignore_padding,
+    stack_windows,
 )
 from e_osvos_tpu.meta_optim import MetaOptimConfig, MetaParams, fine_tune
 from e_osvos_tpu.ops.boxes import masks_to_boxes
@@ -62,11 +65,17 @@ class DetectionOneShotEvaluator:
         cfg: DetectionOneShotConfig,
         batch_objects: bool = True,
         mesh: Optional[Any] = None,
+        fused_ona: bool = False,
     ):
         self.model = model
         self.meta_cfg = meta_cfg
         self.cfg = cfg
         self.batch_objects = batch_objects
+        # fused single-program OnA propagation (the detection mirror of
+        # one_shot.py::propagate_windows_fused); the object-sharded path
+        # keeps the host window loop
+        self.fused_ona = fused_ona and cfg.online_adapt_step > 0
+        self._fused_cache: Dict[Any, Callable] = {}
         self._shard_n = 0
         self._jit_ft = jax.jit(self._fine_tune)
         self._jit_window = jax.jit(self._segment_window)
@@ -89,6 +98,63 @@ class DetectionOneShotEvaluator:
         )
         if mesh is not None:
             self._install_object_sharding(mesh)
+            self.fused_ona = False
+
+    def _fused_propagate(self, orig_hw, batched: bool) -> Callable:
+        """The windowed box-carry propagation + OnA refits as ONE jitted
+        ``lax.scan`` over windows (the host loop dispatches ~12 eager ops
+        per window — device round-trips that dominate under a remote
+        runtime). Carry = (params, boxes, valid); refit is skipped on the
+        last window via ``lax.cond`` (the host loop's ``end < T`` guard).
+        Cached per (orig_hw, batched); windows must be pre-stacked
+        [Wn, step, H, W, 3] with the tail padded by frame replication."""
+        cache_key = (orig_hw, batched)
+        fn = self._fused_cache.get(cache_key)
+        if fn is not None:
+            return fn
+        cfg = self.cfg
+        kk = min(cfg.online_adapt_step, cfg.batch_size)
+
+        def prop(meta_params, support_img, support_label, windows,
+                 w_keys, ona_keys, params, boxes0, valid0, wn_real):
+            wn = windows.shape[0]
+
+            def body(carry, xs):
+                params, boxes, valid = carry
+                window, k_run, k_ona, i = xs
+                w_probs, _, _, boxes, valid = self._segment_window(
+                    params, window, boxes, valid, k_run
+                )
+                pseudo = build_pseudo_gt(
+                    w_probs[-kk:], cfg.online_adapt_min_prop, orig_hw
+                )
+                params = jax.lax.cond(
+                    i < wn_real - 1,
+                    lambda p: self._ona_fine_tune(
+                        meta_params, k_ona, support_img, support_label,
+                        window[-kk:], pseudo, p,
+                    )[0],
+                    lambda p: p,
+                    params,
+                )
+                return (params, boxes, valid), w_probs
+
+            (params, _, _), probs = jax.lax.scan(
+                body, (params, boxes0, valid0),
+                (windows, w_keys, ona_keys, jnp.arange(wn)),
+            )
+            return probs.reshape((-1,) + probs.shape[2:]), params
+
+        if batched:
+            # per-object: params/label/boxes/valid/keys carry the object
+            # axis; meta-params, support frame, windows, and the real
+            # window count broadcast
+            prop = jax.vmap(
+                prop, in_axes=(None, None, 0, None, 0, 0, 0, 0, 0, None)
+            )
+        fn = jax.jit(prop, donate_argnums=(6,))
+        self._fused_cache[cache_key] = fn
+        return fn
 
     def _install_object_sharding(self, mesh) -> None:
         """Object-parallel eval over a device mesh (the detection analogue of
@@ -325,18 +391,30 @@ class DetectionOneShotEvaluator:
 
         seq = index.sequences[seq_name]
         T = len(seq)
-        frames = jnp.asarray(load_frames(index, seq_name))
-        h0, w0 = frames.shape[1], frames.shape[2]
+        frames_np = load_frames(index, seq_name)
+        h0, w0 = frames_np.shape[1], frames_np.shape[2]
+        hw_dev = (
+            transforms.bucket_hw(h0, w0, cfg.pad_multiple)
+            if cfg.pad_multiple else (h0, w0)
+        )
+        groups = seq.object_groups
+        # upload-overlap (see one_shot.py::eval_sequence): support frames
+        # go up first so the fine-tune runs while the full stack streams
+        sup_dev = {
+            sf: jnp.asarray(_pad_frame_np(frames_np[sf], hw_dev))
+            for sf in {g.support_frame for g in groups}
+        }
+        frames = jnp.asarray(frames_np)
         if cfg.pad_multiple:
             frames = transforms.pad_frames_to_multiple(frames, cfg.pad_multiple)
         K = self.model.roi.detections_per_img
 
-        groups = seq.object_groups
         same_support = len({g.support_frame for g in groups}) == 1
         if self.batch_objects and len(groups) > 1 and same_support:
             probs = self._eval_objects_batched(
                 index, seq, frames, meta_params, key, init_params,
                 orig_hw=(h0, w0),
+                support_img=sup_dev[groups[0].support_frame],
             )
             return self._score(index, seq_name, seq, T, probs[..., :h0, :w0])
 
@@ -351,8 +429,9 @@ class DetectionOneShotEvaluator:
             )
 
             k_ft, k_win, k_ona = jax.random.split(gkey, 3)
+            support_img = sup_dev[sf]
             params, _ = self._jit_ft(
-                meta_params, k_ft, frames[sf], label, init_params
+                meta_params, k_ft, support_img, label, init_params
             )
             boxes0, valid0 = masks_to_boxes(
                 (label == 1).astype(jnp.float32)[None]
@@ -362,6 +441,25 @@ class DetectionOneShotEvaluator:
 
             probs = jnp.zeros((T,) + frames.shape[1:3], jnp.float32)
             probs = probs.at[sf].set((label == 1).astype(jnp.float32))
+
+            if self.fused_ona and sf + 1 < T:
+                windows, r, wn_real = stack_windows(
+                    frames[sf + 1:], cfg.online_adapt_step,
+                    cfg.ona_window_bucket,
+                )
+                wn = windows.shape[0]
+                w_keys = jax.vmap(
+                    lambda w: jax.random.fold_in(k_win, w)
+                )(jnp.arange(wn))
+                ona_keys = jax.vmap(
+                    lambda w: jax.random.fold_in(k_ona, w)
+                )(jnp.arange(wn))
+                w_flat, _ = self._fused_propagate((h0, w0), batched=False)(
+                    meta_params, support_img, label, windows, w_keys,
+                    ona_keys, params, boxes0, valid0, jnp.int32(wn_real),
+                )
+                obj_probs.append(probs.at[sf + 1:].set(w_flat[:r]))
+                continue
 
             # windowed propagation with optional online adaptation
             # (evaluate.py:141-253): re-fit on support + pseudo-GT between
@@ -393,7 +491,7 @@ class DetectionOneShotEvaluator:
                     pseudo = jnp.where(has_fg[:, None, None], pseudo, 255)
                     k_w = jax.random.fold_in(k_ona, window_id)
                     params, _ = self._jit_ona_ft(
-                        meta_params, k_w, frames[sf], label,
+                        meta_params, k_w, support_img, label,
                         frames[start:end][-kk:], pseudo, params,
                     )
                 start = end
@@ -471,7 +569,7 @@ class DetectionOneShotEvaluator:
 
     def _eval_objects_batched(
         self, index, seq, frames, meta_params: MetaParams, key, init_params,
-        orig_hw=None,
+        orig_hw=None, support_img=None,
     ):
         """All object groups fine-tuned, tracked, and OnA-refit in ONE
         vmapped program (per-object params + box carries); requires a
@@ -482,6 +580,8 @@ class DetectionOneShotEvaluator:
         T = frames.shape[0]
         K = self.model.roi.detections_per_img
         sf = groups[0].support_frame
+        if support_img is None:
+            support_img = frames[sf]
         gt = index.get_label(seq.name, sf)
         labels = jnp.asarray(
             np.stack([binarize_label(gt, g.object_ids) for g in groups]),
@@ -508,7 +608,7 @@ class DetectionOneShotEvaluator:
         keys = jax.vmap(lambda i: jax.random.fold_in(k_ft, i))(jnp.arange(O))
 
         params_o, _ = self._jit_ft_objs(
-            meta_params, keys, frames[sf], labels, init_params
+            meta_params, keys, support_img, labels, init_params
         )
         nb, nv = masks_to_boxes((labels == 1).astype(jnp.float32))  # [O,4],[O]
         boxes_c = jnp.tile(nb[:, None], (1, K, 1))  # [O,K,4]
@@ -516,6 +616,31 @@ class DetectionOneShotEvaluator:
 
         probs = jnp.zeros((O, T) + frames.shape[1:3], jnp.float32)
         probs = probs.at[:, sf].set((labels == 1).astype(jnp.float32))
+
+        if self.fused_ona and sf + 1 < T:
+            windows, r, wn_real = stack_windows(
+                frames[sf + 1:], cfg.online_adapt_step,
+                cfg.ona_window_bucket,
+            )
+            wn = windows.shape[0]
+            # keys match the host loop: fold window id into the per-purpose
+            # base, then the object id — [O, Wn] per purpose
+            w_keys = jax.vmap(jax.vmap(
+                lambda w, o: jax.random.fold_in(
+                    jax.random.fold_in(k_win, w), o
+                ), in_axes=(0, None)), in_axes=(None, 0),
+            )(jnp.arange(wn), jnp.arange(O))
+            ona_keys = jax.vmap(jax.vmap(
+                lambda w, o: jax.random.fold_in(
+                    jax.random.fold_in(k_ona, w), o
+                ), in_axes=(0, None)), in_axes=(None, 0),
+            )(jnp.arange(wn), jnp.arange(O))
+            w_flat, _ = self._fused_propagate(orig_hw, batched=True)(
+                meta_params, support_img, labels, windows, w_keys,
+                ona_keys, params_o, boxes_c, valid_c, jnp.int32(wn_real),
+            )  # [O, Wn*step, H, W]
+            probs = probs.at[:, sf + 1:].set(w_flat[:, :r])
+            return probs[:O_real]
 
         step = cfg.online_adapt_step if cfg.online_adapt_step > 0 else T
         start = sf + 1
@@ -547,7 +672,7 @@ class DetectionOneShotEvaluator:
                     lambda i: jax.random.fold_in(ko_base, i)
                 )(jnp.arange(O))
                 params_o, _ = self._jit_ona_ft_objs(
-                    meta_params, k_w, frames[sf], labels,
+                    meta_params, k_w, support_img, labels,
                     frames[start:end][-kk:], pseudo, params_o,
                 )
             start = end

@@ -75,52 +75,52 @@ def main():
     from e_osvos_tpu.data.datasets import binarize_label
     from e_osvos_tpu.ops.boxes import masks_to_boxes
 
+    from e_osvos_tpu.engine.one_shot import stack_windows
+    from e_osvos_tpu.ops.bits import pack_mask_bits, unpack_mask_bits
+
+    ev.fused_ona = True  # single-program windowed propagation (round 3)
+    # threshold + bit-pack as ONE jitted program (eager ops each cost a
+    # dispatch round-trip; the packed mask is 8x fewer wire bytes)
+    thresh_pack = jax.jit(lambda p: pack_mask_bits(p >= 0.5))
+
     def run_seq(name):
         """The reference's timed region (evaluate.py:152,319-320): fine-tune
-        + windowed propagation + OnA refits; J/F scoring excluded. Mirrors
-        DetectionOneShotEvaluator.eval_sequence's serial path."""
+        + windowed propagation + OnA refits; J/F scoring excluded. Uses the
+        fused single-program propagation (one_shot_detection.py::
+        _fused_propagate) with support-first upload overlap."""
         seq = index.sequences[name]
-        frames = jnp.asarray(
-            np.stack([index.get_image(name, t) for t in range(len(seq))])
-        )
         group = seq.object_groups[0]
         gt = index.get_label(name, group.support_frame)
         label = jnp.asarray(binarize_label(gt, group.object_ids), jnp.int32)
+        # support frame first (small upload), fine-tune overlaps the stack
+        sup = jnp.asarray(index.get_image(name, 0))
+        frames = jnp.asarray(
+            np.stack([index.get_image(name, t) for t in range(len(seq))])
+        )
         K = model.roi.detections_per_img
         k_ft, k_win, k_ona = jax.random.split(key, 3)
-        params, _ = ev._jit_ft(meta_params, k_ft, frames[0], label, None)
+        params, _ = ev._jit_ft(meta_params, k_ft, sup, label, None)
         b0, v0 = masks_to_boxes((label == 1).astype(jnp.float32)[None])
         boxes_c = jnp.tile(b0, (K, 1))[:K]
         valid_c = jnp.tile(v0, (K,))[:K]
-        outs = []
-        start, window_id = 1, 0
-        while start < T:
-            end = min(start + cfg.online_adapt_step, T)
-            k_run = jax.random.fold_in(k_win, window_id)
-            w_probs, _, _, boxes_c, valid_c = ev._jit_window(
-                params, frames[start:end], boxes_c, valid_c, k_run
-            )
-            outs.append(w_probs)
-            if end < T:
-                kk = min(cfg.online_adapt_step, cfg.batch_size)
-                sel = w_probs[-kk:]
-                pseudo = jnp.where(
-                    sel >= cfg.online_adapt_min_prop, 1,
-                    jnp.where(sel <= 1.0 - cfg.online_adapt_min_prop, 0, 255),
-                ).astype(jnp.int32)
-                has_fg = jnp.any(pseudo == 1, axis=(1, 2))
-                pseudo = jnp.where(has_fg[:, None, None], pseudo, 255)
-                k_w = jax.random.fold_in(k_ona, window_id)
-                params, _ = ev._jit_ona_ft(
-                    meta_params, k_w, frames[0], label,
-                    frames[start:end][-kk:], pseudo, params,
-                )
-            start = end
-            window_id += 1
-        probs = jnp.concatenate(outs)
-        # device→host transfer of the uint8 deliverable is the honest timing
-        # barrier under the axon tunnel (block_until_ready does not block)
-        return np.asarray((probs >= 0.5).astype(jnp.uint8))
+        windows, r, wn_real = stack_windows(frames[1:], cfg.online_adapt_step)
+        wn = windows.shape[0]
+        w_keys = jax.vmap(lambda w: jax.random.fold_in(k_win, w))(
+            jnp.arange(wn)
+        )
+        ona_keys = jax.vmap(lambda w: jax.random.fold_in(k_ona, w))(
+            jnp.arange(wn)
+        )
+        w_flat, _ = ev._fused_propagate((H, W), batched=False)(
+            meta_params, sup, label, windows, w_keys, ona_keys,
+            params, boxes_c, valid_c, jnp.int32(wn_real),
+        )
+        # bit-packed device→host transfer of the deliverable is the honest
+        # timing barrier (block_until_ready does not block under the
+        # tunnel); host unpack stays inside the timed region
+        return unpack_mask_bits(
+            np.asarray(thresh_pack(w_flat[:r])), w_flat.shape[-1]
+        )
 
     t0 = time.perf_counter()
     run_seq("seq00")  # warmup: compiles ft + window + OnA-refit programs

@@ -84,21 +84,21 @@ def main():
                 ts.append(time.perf_counter() - t0)
             return float(np.median(ts))
 
+        # each postprocess variant is ONE jitted program — eager ops cost
+        # a tunnel round-trip apiece, which would swamp what's measured
+        jit_scalar = jax.jit(lambda p: (p >= 0.5).sum(dtype=jnp.int32))
+        jit_pack = jax.jit(lambda p: pack_mask_bits(p >= 0.5))
+        jit_uint8 = jax.jit(lambda p: (p >= 0.5).astype(jnp.uint8))
+
         # compute floor: scalar reduce on device, 4-byte transfer
-        t_scalar = timed(lambda n: float(
-            (probs_for(n) >= 0.5).sum(dtype=jnp.int32)
-        ))
+        t_scalar = timed(lambda n: float(jit_scalar(probs_for(n))))
         # packed transfer + host unpack
         def run_packed(n):
             p = probs_for(n)
-            return unpack_mask_bits(
-                np.asarray(pack_mask_bits(p >= 0.5)), p.shape[-1]
-            )
+            return unpack_mask_bits(np.asarray(jit_pack(p)), p.shape[-1])
         t_packed = timed(run_packed)
         # full uint8 transfer (the round-2 methodology)
-        t_uint8 = timed(
-            lambda n: np.asarray((probs_for(n) >= 0.5).astype(jnp.uint8))
-        )
+        t_uint8 = timed(lambda n: np.asarray(jit_uint8(probs_for(n))))
 
         # fine-tune alone (per-sequence constant)
         def ft_only(name):
@@ -117,7 +117,36 @@ def main():
             return float(jnp.sum(leaf.astype(jnp.float32)))
         t_ft = timed(ft_only)
 
+        # raw frame-stack upload alone: host gen + [67,H,W,3] uint8
+        # device_put, barrier = 4-byte on-device reduce fetch. This is
+        # the wire floor every serial formulation pays per sequence.
+        jit_touch = jax.jit(lambda x: jnp.sum(x[:, 0, 0, 0].astype(jnp.int32)))
+
+        def upload_only(name):
+            frames = jnp.asarray(np.stack(
+                [index.get_image(name, t) for t in range(T_FRAMES)]
+            ))
+            return int(jit_touch(frames))
+        t_up = timed(upload_only)
+
+        # steady-state stream (eval_stream): per-sequence fused dispatch,
+        # uploads overlap compute, packed masks drained at the end — the
+        # sweep methodology since round 3
+        ev.eval_stream(index, ["seq00"], meta_params, key)
+        st = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            ev.eval_stream(index, ["seq01", "seq02", "seq03"],
+                           meta_params, key)
+            st.append(time.perf_counter() - t0)
+        t_stream_pf = float(np.median(st)) / (3 * T_FRAMES)
+
         results[f"T={T}"] = {
+            "upload_only_s": round(t_up, 3),
+            "stream_s_per_frame": round(t_stream_pf, 4),
+            "speedup_vs_ref_stream": round(
+                {1: 0.14, 5: 0.164}[T] / t_stream_pf, 2
+            ),
             "scalar_s": round(t_scalar, 3),
             "packed_s": round(t_packed, 3),
             "uint8_s": round(t_uint8, 3),

@@ -462,6 +462,64 @@ class TestDetectionObjectSharded:
         assert abs(r1["J_mean"] - r2["J_mean"]) < 0.05
 
 
+class TestDetectionFusedOnA:
+    """Fused single-program OnA propagation for the detection path
+    (one_shot_detection.py::_fused_propagate) vs the host window loop:
+    identical windows, PRNG keys, box carry, pseudo-GT thresholds, and
+    refit schedule (no refit after the last window), so the only numeric
+    slack is the padded tail window's batching. T=6, step=2 → tail pad."""
+
+    def _run(self, fused, num_objects, batch_objects):
+        from e_osvos_tpu.data.synthetic import SyntheticVOSIndex
+        from e_osvos_tpu.data.transforms import AugmentConfig
+        from e_osvos_tpu.engine.one_shot_detection import (
+            DetectionOneShotConfig,
+            DetectionOneShotEvaluator,
+        )
+        from e_osvos_tpu.meta_optim import MetaOptimConfig, init_meta_params
+
+        model = tiny_model()
+        variables = model.init(
+            {"params": jax.random.PRNGKey(0), "sample": jax.random.PRNGKey(1)},
+            jnp.zeros((1, SIZE, SIZE, 3), jnp.float32),
+        )
+        meta_cfg = MetaOptimConfig(init_lr=1e-3, use_log_init_lr=False)
+        meta_params = init_meta_params(meta_cfg, variables)
+        cfg = DetectionOneShotConfig(
+            num_epochs=2, batch_size=2,
+            online_adapt_step=2, online_adapt_epochs=1,
+            augment=AugmentConfig(scale_min=0.95, scale_max=1.05,
+                                  rot_deg=5.0, flip_prob=0.0),
+        )
+        ev = DetectionOneShotEvaluator(model, meta_cfg, cfg,
+                                       batch_objects=batch_objects,
+                                       fused_ona=fused)
+        assert ev.fused_ona == fused
+        index = SyntheticVOSIndex(num_sequences=1, num_frames=6,
+                                  size=(SIZE, SIZE),
+                                  num_objects=num_objects, seed=4)
+        return ev.eval_sequence(index, "seq00", meta_params,
+                                jax.random.PRNGKey(7))
+
+    def test_fused_matches_host_loop(self):
+        r_host = self._run(fused=False, num_objects=1, batch_objects=False)
+        r_fuse = self._run(fused=True, num_objects=1, batch_objects=False)
+        assert r_fuse["probs"].shape == r_host["probs"].shape
+        np.testing.assert_allclose(r_fuse["probs"], r_host["probs"],
+                                   atol=1e-4)
+        assert abs(r_fuse["J_mean"] - r_host["J_mean"]) < 1e-3
+
+    @pytest.mark.slow
+    def test_fused_matches_host_loop_object_batched(self):
+        r_host = self._run(fused=False, num_objects=2, batch_objects=True)
+        r_fuse = self._run(fused=True, num_objects=2, batch_objects=True)
+        assert r_fuse["probs"].shape == r_host["probs"].shape == \
+            (2, 6, SIZE, SIZE)
+        np.testing.assert_allclose(r_fuse["probs"], r_host["probs"],
+                                   atol=1e-4)
+        assert abs(r_fuse["J_mean"] - r_host["J_mean"]) < 1e-3
+
+
 class TestDetectionInitJ:
     def test_eval_sequence_init(self, model_and_vars):
         """init_J for the detection path: raw init + box-carry tracking,

@@ -103,6 +103,12 @@ def test_two_process_cpu_distributed(tmp_path):
     env = dict(os.environ)
     env.pop("XLA_FLAGS", None)
     env.pop("JAX_PLATFORMS", None)
+    # keep the child a pure-CPU interpreter: with PALLAS_AXON_POOL_IPS set,
+    # sitecustomize registers the axon PJRT plugin at startup, which can
+    # initialize the XLA backend before jax.distributed.initialize() and
+    # kill the worker with "initialize() must be called before any JAX
+    # calls" (observed only under full-suite load, never in isolation)
+    env.pop("PALLAS_AXON_POOL_IPS", None)
     if not _distributed_runtime_available(env):
         pytest.skip("jax.distributed runtime unavailable (probe failed)")
 

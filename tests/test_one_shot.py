@@ -174,6 +174,102 @@ class TestObjectBatchedEval:
         assert res_s["probs"].shape == (2, 5, 48, 48)
 
 
+class TestFusedOnAPropagation:
+    """Fused single-program OnA (one_shot.py::propagate_windows_fused) must
+    equal the host window loop: same windows, same pseudo-GT thresholds,
+    same refit count (the last window never refits), tail window padded by
+    frame replication. Refits are deterministic, so agreement is numeric-
+    noise tight. T chosen so (T-1) is NOT a multiple of step — exercises
+    the padded tail window."""
+
+    def _run(self, fused, num_objects, batch_objects, seed=7,
+             window_bucket=0):
+        idx = SyntheticVOSIndex(
+            num_sequences=1, num_frames=6, size=(48, 48),
+            num_objects=num_objects, seed=seed,
+        )
+        model = tiny_model()
+        params = model.init(jax.random.key(0), jnp.zeros((1, 48, 48, 3)))
+        meta_cfg = MetaOptimConfig(init_lr=0.02)
+        meta_params = init_meta_params(meta_cfg, params)
+        cfg = OneShotConfig(num_epochs=3, batch_size=2, loss_func="dice",
+                            online_adapt_step=2, online_adapt_epochs=2,
+                            ona_window_bucket=window_bucket,
+                            augment=MILD_AUG)
+        ev = OneShotEvaluator(lambda p, x: model.apply(p, x), meta_cfg, cfg,
+                              batch_objects=batch_objects, fused_ona=fused)
+        assert ev.fused_ona == fused
+        return ev.eval_sequence(idx, "seq00", meta_params, jax.random.key(9))
+
+    def test_fused_matches_host_loop_single_object(self):
+        r_host = self._run(fused=False, num_objects=1, batch_objects=False)
+        r_fuse = self._run(fused=True, num_objects=1, batch_objects=False)
+        assert r_fuse["probs"].shape == r_host["probs"].shape
+        np.testing.assert_allclose(
+            np.asarray(r_fuse["probs"]), np.asarray(r_host["probs"]),
+            atol=1e-4,
+        )
+        np.testing.assert_allclose(r_fuse["J_mean"], r_host["J_mean"],
+                                   atol=1e-4)
+
+    def test_window_bucketing_is_bit_identical(self):
+        """ona_window_bucket pads the window axis (bounded compile count
+        for heterogeneous-length datasets); cropped outputs must equal the
+        exact-window program bit-for-bit — window i's probabilities depend
+        only on refits of windows < i, and refits are gated off past
+        wn_real. 5 propagated frames / step 2 → wn_real=3, bucket 4 → 4."""
+        r_exact = self._run(fused=True, num_objects=1, batch_objects=False)
+        r_bucket = self._run(fused=True, num_objects=1, batch_objects=False,
+                             window_bucket=4)
+        np.testing.assert_array_equal(
+            np.asarray(r_exact["probs"]), np.asarray(r_bucket["probs"])
+        )
+
+    def test_fused_matches_host_loop_object_batched(self):
+        r_host = self._run(fused=False, num_objects=2, batch_objects=True)
+        r_fuse = self._run(fused=True, num_objects=2, batch_objects=True)
+        assert r_fuse["probs"].shape == r_host["probs"].shape == (2, 6, 48, 48)
+        np.testing.assert_allclose(
+            np.asarray(r_fuse["probs"]), np.asarray(r_host["probs"]),
+            atol=1e-4,
+        )
+        merged_diff = (
+            np.asarray(r_fuse["merged"]) != np.asarray(r_host["merged"])
+        )
+        assert merged_diff.mean() < 0.005
+
+
+class TestEvalStream:
+    """Pipelined serving-mode eval (one_shot.py::eval_stream): every
+    sequence is one fused (fine-tune → segment → threshold → bit-pack)
+    dispatch, uploads overlap compute, and the result must equal the
+    per-sequence eval_sequence path bit-exactly (the stream replicates its
+    key schedule)."""
+
+    def test_stream_matches_eval_sequence(self):
+        idx = SyntheticVOSIndex(num_sequences=2, num_frames=5, size=(48, 48),
+                                num_objects=1, seed=3)
+        model = tiny_model()
+        params = model.init(jax.random.key(0), jnp.zeros((1, 48, 48, 3)))
+        meta_cfg = MetaOptimConfig(init_lr=0.02)
+        meta_params = init_meta_params(meta_cfg, params)
+        cfg = OneShotConfig(num_epochs=3, batch_size=2, loss_func="dice",
+                            augment=MILD_AUG)
+        ev = OneShotEvaluator(lambda p, x: model.apply(p, x), meta_cfg, cfg)
+        key = jax.random.key(11)
+        names = ["seq00", "seq01"]
+        masks = ev.eval_stream(idx, names, meta_params, key)
+        for i, name in enumerate(names):
+            res = ev.eval_sequence(
+                idx, name, meta_params, jax.random.fold_in(key, i)
+            )
+            ref = (np.asarray(res["probs"][0]) >= cfg.threshold).astype(
+                np.uint8
+            )
+            assert masks[name].shape == ref.shape == (5, 48, 48)
+            np.testing.assert_array_equal(masks[name], ref)
+
+
 class TestFrameParallelEval:
     """Frame-axis-sharded inference (one_shot.py::_install_frame_sharding):
     sharded over the 8-device CPU mesh must equal single-device, including
