@@ -76,6 +76,8 @@ class DetectionOneShotEvaluator:
         # keeps the host window loop
         self.fused_ona = fused_ona and cfg.online_adapt_step > 0
         self._fused_cache: Dict[Any, Callable] = {}
+        self._jit_pack: Optional[Callable] = None
+        self._jit_stream_prep: Optional[Callable] = None
         self._shard_n = 0
         self._jit_ft = jax.jit(self._fine_tune)
         self._jit_window = jax.jit(self._segment_window)
@@ -500,6 +502,105 @@ class DetectionOneShotEvaluator:
 
         probs = jnp.stack(obj_probs)
         return self._score(index, seq_name, seq, T, probs[..., :h0, :w0])
+
+    def eval_stream(
+        self,
+        index,
+        seq_names,
+        meta_params: MetaParams,
+        key,
+        init_params: Any = None,
+    ) -> Dict[str, np.ndarray]:
+        """Pipelined one-shot tracking over many sequences (serving mode;
+        single object group per sequence) — the detection mirror of
+        one_shot.py::eval_stream.
+
+        Every sequence's fine-tune → box-carry propagation (→ fused OnA
+        refits when ``online_adapt_step`` > 0) is dispatched before ANY
+        result is fetched: jax dispatch is asynchronous, so sequence k+1's
+        [T,H,W,3] upload streams while sequence k computes, and only
+        bit-packed masks (8 px/byte, ops/bits.py) cross back, drained in
+        order at the end. The key schedule replicates eval_sequence's
+        serial path (per-sequence fold, group-0 fold, the ft/window/OnA
+        split, per-window folds), so stream(key) row i equals
+        eval_sequence(fold_in(key, i)) on the fused path bit-exactly.
+        Returns {name: uint8 [T,H,W]} with the support row replaced by GT
+        (frame 0 is given under the DAVIS protocol, evaluate.py:123)."""
+        from e_osvos_tpu.data.loader import load_frames
+        from e_osvos_tpu.ops.bits import pack_mask_bits, unpack_mask_bits
+
+        cfg = self.cfg
+        K = self.model.roi.detections_per_img
+        if self._jit_pack is None:
+            self._jit_pack = jax.jit(
+                lambda p: pack_mask_bits(p >= cfg.threshold)
+            )
+        if self._jit_stream_prep is None:
+            def _prep(label):
+                b0, v0 = masks_to_boxes(
+                    (label == 1).astype(jnp.float32)[None]
+                )
+                return jnp.tile(b0, (K, 1))[:K], jnp.tile(v0, (K,))[:K]
+
+            self._jit_stream_prep = jax.jit(_prep)
+
+        pend = []
+        for i, name in enumerate(seq_names):
+            seq = index.sequences[name]
+            group = seq.object_groups[0]
+            sf = group.support_frame
+            frames_np = load_frames(index, name)
+            T, h0, w0 = frames_np.shape[:3]
+            gt_bin = binarize_label(index.get_label(name, sf),
+                                    group.object_ids)
+            # support frame + label first (small uploads): the fine-tune
+            # dispatches and runs while the full stack streams up
+            sup = jnp.asarray(frames_np[sf])
+            label = jnp.asarray(gt_bin, jnp.int32)
+            frames_j = jnp.asarray(frames_np)
+            gkey = jax.random.fold_in(jax.random.fold_in(key, i), 0)
+            k_ft, k_win, k_ona = jax.random.split(gkey, 3)
+            params, _ = self._jit_ft(meta_params, k_ft, sup, label,
+                                     init_params)
+            boxes0, valid0 = self._jit_stream_prep(label)
+            if sf + 1 >= T:
+                pend.append((name, sf, gt_bin, None, (T, h0, w0)))
+                continue
+            if cfg.online_adapt_step > 0:
+                windows, r, wn_real = stack_windows(
+                    frames_j[sf + 1:], cfg.online_adapt_step,
+                    cfg.ona_window_bucket,
+                )
+                wn = windows.shape[0]
+                w_keys = jax.vmap(
+                    lambda w: jax.random.fold_in(k_win, w)
+                )(jnp.arange(wn))
+                ona_keys = jax.vmap(
+                    lambda w: jax.random.fold_in(k_ona, w)
+                )(jnp.arange(wn))
+                w_flat, _ = self._fused_propagate((h0, w0), batched=False)(
+                    meta_params, sup, label, windows, w_keys, ona_keys,
+                    params, boxes0, valid0, jnp.int32(wn_real),
+                )
+                packed = self._jit_pack(w_flat[:r])
+            else:
+                # no OnA: the whole remainder is one window (the host
+                # loop's step = T fallback), one scan program
+                k_run = jax.random.fold_in(k_win, 0)
+                w_probs = self._jit_window(
+                    params, frames_j[sf + 1:], boxes0, valid0, k_run
+                )[0]
+                packed = self._jit_pack(w_probs)
+            pend.append((name, sf, gt_bin, packed, (T, h0, w0)))
+
+        out = {}
+        for name, sf, gt_bin, packed, (T, h0, w0) in pend:
+            mask = np.zeros((T, h0, w0), np.uint8)
+            mask[sf] = (gt_bin == 1).astype(np.uint8)
+            if packed is not None:
+                mask[sf + 1:] = unpack_mask_bits(np.asarray(packed), w0)
+            out[name] = mask
+        return out
 
     def eval_sequence_init(
         self,

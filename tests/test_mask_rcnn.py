@@ -520,6 +520,52 @@ class TestDetectionFusedOnA:
         assert abs(r_fuse["J_mean"] - r_host["J_mean"]) < 1e-3
 
 
+class TestDetectionEvalStream:
+    """Pipelined serving-mode detection eval (one_shot_detection.py::
+    eval_stream): per-sequence fused dispatches with overlapped uploads
+    and bit-packed fetches must reproduce eval_sequence's fused path
+    bit-exactly (the stream replicates its key schedule)."""
+
+    def test_stream_matches_eval_sequence(self):
+        from e_osvos_tpu.data.synthetic import SyntheticVOSIndex
+        from e_osvos_tpu.data.transforms import AugmentConfig
+        from e_osvos_tpu.engine.one_shot_detection import (
+            DetectionOneShotConfig,
+            DetectionOneShotEvaluator,
+        )
+        from e_osvos_tpu.meta_optim import MetaOptimConfig, init_meta_params
+
+        model = tiny_model()
+        variables = model.init(
+            {"params": jax.random.PRNGKey(0), "sample": jax.random.PRNGKey(1)},
+            jnp.zeros((1, SIZE, SIZE, 3), jnp.float32),
+        )
+        meta_cfg = MetaOptimConfig(init_lr=1e-3, use_log_init_lr=False)
+        meta_params = init_meta_params(meta_cfg, variables)
+        cfg = DetectionOneShotConfig(
+            num_epochs=2, batch_size=2,
+            online_adapt_step=2, online_adapt_epochs=1,
+            augment=AugmentConfig(scale_min=0.95, scale_max=1.05,
+                                  rot_deg=5.0, flip_prob=0.0),
+        )
+        ev = DetectionOneShotEvaluator(model, meta_cfg, cfg,
+                                       batch_objects=False, fused_ona=True)
+        index = SyntheticVOSIndex(num_sequences=2, num_frames=6,
+                                  size=(SIZE, SIZE), num_objects=1, seed=4)
+        key = jax.random.PRNGKey(7)
+        names = ["seq00", "seq01"]
+        masks = ev.eval_stream(index, names, meta_params, key)
+        for i, name in enumerate(names):
+            res = ev.eval_sequence(
+                index, name, meta_params, jax.random.fold_in(key, i)
+            )
+            ref = (np.asarray(res["probs"][0]) >= cfg.threshold).astype(
+                np.uint8
+            )
+            assert masks[name].shape == ref.shape == (6, SIZE, SIZE)
+            np.testing.assert_array_equal(masks[name], ref)
+
+
 class TestDetectionInitJ:
     def test_eval_sequence_init(self, model_and_vars):
         """init_J for the detection path: raw init + box-carry tracking,
