@@ -40,6 +40,11 @@ import numpy as np  # noqa: E402
 _ap = argparse.ArgumentParser()
 _ap.add_argument("--ckpt", default="/tmp/meta480_ckpt_r3/last_meta_iter.ckpt")
 _ap.add_argument("--out", default=None)
+# --fps-only: refresh the fps rows under the current bench.py protocol but
+# carry the recorded held-out J columns forward unchanged (they were
+# measured from the 300-iter meta checkpoint, which may no longer be on
+# disk; J does not depend on the timing protocol)
+_ap.add_argument("--fps-only", action="store_true")
 ARGS = _ap.parse_args()
 
 _REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
@@ -80,6 +85,17 @@ def main():
         with open(ARGS.ckpt, "rb") as f:
             raw = serialization.msgpack_restore(f.read())
 
+    # snapshot the prior file ONCE (the per-stride write below overwrites
+    # it, so late reads would lose the other stride's recorded J columns)
+    prior = {}
+    if ARGS.fps_only and os.path.exists(_OUT):
+        with open(_OUT) as f:
+            prior = json.load(f)
+        result["protocols"]["J"] = prior.get("protocols", {}).get(
+            "J", result["protocols"]["J"])
+        result["protocols"]["ckpt"] = prior.get("protocols", {}).get(
+            "ckpt", result["protocols"].get("ckpt"))
+
     for stride in (16, 8):
         model = DeepLabV3Plus(
             num_classes=1, arch="resnet50", backbone_norm="frozen_bn",
@@ -103,21 +119,36 @@ def main():
         )
         ev_ona = OneShotEvaluator(model.apply, meta_cfg, cfg_ona)
 
-        def run_seq(name):
-            from e_osvos_tpu.ops.bits import pack_mask_bits, unpack_mask_bits
+        from e_osvos_tpu.ops.bits import pack_mask_bits, unpack_mask_bits
 
-            seq = bench_index.sequences[name]
-            frames = jnp.asarray(np.stack(
-                [bench_index.get_image(name, t) for t in range(len(seq))]
+        # bench.py protocol: jitted threshold+pack (eager ops cost one
+        # dispatch RPC each) and frames pre-staged outside the timed region
+        thresh_pack = jax.jit(
+            lambda p: pack_mask_bits(p >= cfg_ona.threshold)
+        )
+        jit_touch = jax.jit(
+            lambda x: jnp.sum(x[:, 0, 0, 0].astype(jnp.int32))
+        )
+        staged = {}
+        for name in bench_index.sequences:
+            fstack = jnp.asarray(np.stack(
+                [bench_index.get_image(name, t) for t in range(T)]
             ))
+            int(jit_touch(fstack))  # barrier: upload has landed
+            staged[name] = fstack
+
+        def run_seq(name):
+            seq = bench_index.sequences[name]
+            group = seq.object_groups[0]
+            frames = staged[name]
             probs = ev_ona._eval_object_group(
-                bench_index, seq, frames, seq.object_groups[0],
-                meta_rand, key, None,
+                bench_index, seq, frames, group, meta_rand, key, None,
+                support_img=frames[group.support_frame],
             )
             # bit-packed wire transfer + host unpack inside the timed
             # region (ops/bits.py; see bench.py for the rationale)
-            packed = pack_mask_bits(probs >= cfg_ona.threshold)
-            return unpack_mask_bits(np.asarray(packed), probs.shape[-1])
+            return unpack_mask_bits(np.asarray(thresh_pack(probs)),
+                                    probs.shape[-1])
 
         t_c0 = time.time()
         run_seq("seq00")  # warmup/compile
@@ -145,15 +176,24 @@ def main():
                       flush=True)
             return float(np.mean(js))
 
-        j_rand = eval_held(meta_rand, "rand")
-        j_meta = eval_held(meta_ckpt, "meta") if meta_ckpt is not None else None
+        if ARGS.fps_only:
+            prior_row = next(
+                (pr for pr in prior.get("rows", [])
+                 if pr.get("output_stride") == stride), {})
+            j_rand = prior_row.get("J_heldout_random_init")
+            j_meta = prior_row.get("J_heldout_meta")
+        else:
+            j_rand = eval_held(meta_rand, "rand")
+            j_meta = (eval_held(meta_ckpt, "meta")
+                      if meta_ckpt is not None else None)
 
         result["rows"].append({
             "output_stride": stride,
             "fps_e-OSVOS-50-OnA": round(fps, 3),
             "vs_baseline": round(fps / BASELINE_FPS, 2),
             "seq_times_s": [round(t, 2) for t in times],
-            "J_heldout_random_init": round(j_rand, 4),
+            "J_heldout_random_init": round(j_rand, 4)
+            if j_rand is not None else None,
             "J_heldout_meta": round(j_meta, 4) if j_meta is not None else None,
         })
         with open(_OUT, "w") as f:
