@@ -74,14 +74,16 @@ def main():
         online_adapt_min_prop=0.75,
         augment=AugmentConfig(),
     )
-    # host-loop OnA, NOT the fused lax.scan propagation: measured A/B at
-    # this config (480p, 50-OnA) — host loop 5.1-6.1 fps vs fused 3.7-3.9
-    # (XLA schedules the refit/inference programs better standalone than
-    # inside a nested scan/cond mega-program; dispatch overhead, which the
-    # fusion removes, is negligible at 12 windows/sequence). The fused
-    # path wins where dispatch count dominates — see PERF.md "Fused-OnA
-    # A/B" for the per-regime dispatch policy.
-    evaluator = OneShotEvaluator(model.apply, meta_cfg, cfg, fused_ona=False)
+    # fused OnA: the whole windowed propagation is ONE lax.scan program.
+    # Controlled A/B under the pre-staged protocol (PERF.md "Fused-OnA
+    # A/B"): fused 7.61 fps vs host window loop 7.61 — identical compute;
+    # the earlier apparent host-loop win (6.1 vs 3.9) was upload
+    # serialization, not scheduling (the fused program can't start until
+    # the whole stack lands; the host loop overlapped windows with the
+    # tail of the upload). With frames resident they tie, and the fused
+    # path dispatches ~25x fewer programs — the right default wherever
+    # dispatch or I/O matters.
+    evaluator = OneShotEvaluator(model.apply, meta_cfg, cfg, fused_ona=True)
 
     index = SyntheticVOSIndex(
         num_sequences=4, num_frames=T, size=(H, W), num_objects=1, seed=0

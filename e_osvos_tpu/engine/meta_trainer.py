@@ -17,6 +17,7 @@ on a mesh the eval either time-multiplexes or takes a mesh slice).
 from __future__ import annotations
 
 import dataclasses
+import time
 from typing import Any, Callable, Dict, Optional, Sequence
 
 import jax
@@ -126,9 +127,34 @@ class MetaTrainer:
     # -- training loop ------------------------------------------------------
 
     def run(self, num_iters: Optional[int] = None) -> Dict[str, Any]:
+        """Pipelined host loop: jax dispatch is asynchronous, so iteration
+        k+1's task sampling/decoding (host CPU) and batch upload overlap
+        iteration k's device step — the metric fetch for k happens only
+        AFTER k+1 has been dispatched (1-deep pipeline, ≤2 steps in
+        flight). At logging/eval/final iterations the pipeline flushes so
+        every logged value is exact for its own iteration. The reference
+        gets the same overlap from separate eval/meta worker processes
+        (train_meta.py:129-377); here it is one loop, no IPC."""
         cfg = self.train_cfg
         n = num_iters if num_iters is not None else cfg.num_meta_iters
         last: Dict[str, Any] = {}
+        pending = None  # (meta_iter, out, sample_s, dispatch_t0)
+
+        def finalize(p) -> Dict[str, Any]:
+            it, out, sample_s, t0 = p
+            loss = float(jax.device_get(out.meta_loss))
+            return {
+                "meta_loss": loss,
+                "per_task_loss": np.asarray(
+                    jax.device_get(out.per_task_loss)
+                ).tolist(),
+                "sample_s": sample_s,
+                # dispatch→fetch wall time; under the pipeline this spans
+                # the next iteration's sampling too, so it upper-bounds
+                # the device step (exact on flushed iterations)
+                "step_s": time.perf_counter() - t0,
+            }
+
         for _ in range(n):
             if cfg.profile_iters is not None:
                 if self.meta_iter == cfg.profile_iters[0]:
@@ -142,22 +168,26 @@ class MetaTrainer:
             batch = shard_task_batch(self.mesh, batch)
             t_sample = self.timer.stop("sample")
 
-            self.timer.start("step")
+            t0 = time.perf_counter()
             out = self.step(self.meta_params, self.opt_state, batch)
             self.meta_params = out.meta_params
             self.opt_state = out.opt_state
-            loss = float(jax.device_get(out.meta_loss))
-            t_step = self.timer.stop("step")
             self.meta_iter += 1
 
-            last = {
-                "meta_loss": loss,
-                "per_task_loss": np.asarray(
-                    jax.device_get(out.per_task_loss)
-                ).tolist(),
-                "sample_s": t_sample,
-                "step_s": t_step,
-            }
+            if pending is not None:
+                last = finalize(pending)
+            pending = (self.meta_iter, out, t_sample, t0)
+
+            flush = (
+                self.meta_iter % cfg.vis_interval == 0
+                or self.meta_iter == 1
+                or (self.eval_fn is not None and cfg.eval_interval
+                    and self.meta_iter % cfg.eval_interval == 0)
+            )
+            if flush:
+                last = finalize(pending)
+                pending = None
+
             if self.meta_iter % cfg.vis_interval == 0 or self.meta_iter == 1:
                 # init-lr statistics — the numbers the reference plots as
                 # lr mean/std curves (meta_optim.py:83-107, visualize.py)
@@ -191,4 +221,6 @@ class MetaTrainer:
                 if score > self.best_eval:
                     self.best_eval = score
                     self.save("best_meta_iter")
+        if pending is not None:
+            last = finalize(pending)
         return last

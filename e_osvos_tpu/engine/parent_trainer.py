@@ -14,6 +14,7 @@ reference was single-GPU only.
 from __future__ import annotations
 
 import dataclasses
+import time
 from functools import partial
 from typing import Any, Callable, Dict, Optional, Sequence
 
@@ -232,10 +233,22 @@ class ParentTrainer:
         )
 
     def run(self, num_iters: Optional[int] = None) -> Dict[str, float]:
+        """Pipelined host loop (same shape as MetaTrainer.run): step k's
+        loss is fetched only after step k+1 has been dispatched, so host
+        batch sampling and upload overlap device compute (1-deep pipeline,
+        ≤2 steps in flight); logging/snapshot iterations flush so logged
+        values are exact for their own step."""
         cfg = self.cfg
         n = num_iters if num_iters is not None else cfg.num_iters
         sh = task_sharding(self.mesh)
         last = {}
+        pending = None  # (step_num, loss_handle, dispatch_t0)
+
+        def finalize(p) -> Dict[str, float]:
+            _, loss, t0 = p
+            return {"loss": float(jax.device_get(loss)),
+                    "step_s": time.perf_counter() - t0}
+
         for _ in range(n):
             imgs, labels, seeds = self.sampler.sample_batch(cfg.batch_size)
             imgs, labels, seeds = (
@@ -243,19 +256,30 @@ class ParentTrainer:
                 jax.device_put(labels, sh),
                 jax.device_put(seeds, sh),
             )
-            self.timer.start("step")
+            t0 = time.perf_counter()
             self.params, self.opt_state, loss = self._step(
                 self.params, self.opt_state, imgs, labels, seeds
             )
-            t = self.timer.stop("step")
             self.step_num += 1
-            last = {"loss": float(jax.device_get(loss)), "step_s": t}
-            if self.step_num % cfg.log_interval == 0 or self.step_num == 1:
+            if pending is not None:
+                last = finalize(pending)
+            pending = (self.step_num, loss, t0)
+
+            log_now = (self.step_num % cfg.log_interval == 0
+                       or self.step_num == 1)
+            snap_now = (cfg.save_dir
+                        and self.step_num % cfg.snapshot_interval == 0)
+            if log_now or snap_now:
+                last = finalize(pending)
+                pending = None
+            if log_now:
                 self.logger.log("parent_train", step=self.step_num, **last)
-            if cfg.save_dir and self.step_num % cfg.snapshot_interval == 0:
+            if snap_now:
                 save_checkpoint(
                     f"{cfg.save_dir}/parent_{self.step_num}.ckpt",
                     self.params,
                     metadata={"step": self.step_num},
                 )
+        if pending is not None:
+            last = finalize(pending)
         return last

@@ -199,6 +199,19 @@ def fine_tune(
     lrs = materialize_lrs(meta_params.log_init_lr, cfg.use_log_init_lr)
     params0 = reset_params(cfg, meta_params, init_params) if reset else init_params
 
+    if early_stop_patience <= 0:
+        # no early stopping → the latch can never trigger, so skip its
+        # machinery entirely: the per-step `where(stopped, old, new)`
+        # select over the FULL parameter tree costs ~3 HBM passes of the
+        # 160 MB f32 params per step for nothing
+        def plain_step(params: Params, batch):
+            return inner_sgd_step(cfg, loss_fn, params, lrs, batch)
+
+        if remat:
+            plain_step = jax.checkpoint(plain_step)
+        final_params, losses = jax.lax.scan(plain_step, params0, batches)
+        return final_params, losses
+
     def step(state: FineTuneState, batch):
         new_params, loss = inner_sgd_step(cfg, loss_fn, state.params, lrs, batch)
         improved = loss < state.best_loss

@@ -11,4 +11,6 @@ run det_ona_host env FUSED=0 python scripts/bench_detection_ona.py
 run det_ona_fused env FUSED=1 python scripts/bench_detection_ona.py
 run 100ona python scripts/bench_100ona.py
 run stride_fps python scripts/bench_stride.py --fps-only
+run stream python scripts/bench_stream.py
+run bench python bench.py
 echo "QUEUE6 DONE $(date +%T)"

@@ -129,6 +129,28 @@ class TestFineTune:
         )
         assert np.isinf(np.asarray(losses)).any()
 
+    def test_patience_zero_fast_path_matches_latch_path(self, params):
+        """early_stop_patience=0 takes a latch-free scan (no per-step
+        full-tree select); it must be numerically identical to the latch
+        path with a patience that can never trigger."""
+        cfg = MetaOptimConfig(init_lr=0.05, learn_model_init=True)
+        mp = init_meta_params(cfg, params)
+        task = make_task(jax.random.key(4))
+        batches = stacked_batches(task, 8)
+        fast_p, fast_l = fine_tune(cfg, loss_fn, mp, batches,
+                                   early_stop_patience=0)
+        latch_p, latch_l = fine_tune(cfg, loss_fn, mp, batches,
+                                     early_stop_patience=10_000)
+        np.testing.assert_allclose(
+            np.asarray(fast_l), np.asarray(latch_l), rtol=1e-6
+        )
+        jax.tree_util.tree_map(
+            lambda a, b: np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=1e-6
+            ),
+            fast_p, latch_p,
+        )
+
     def test_no_learned_init_uses_caller_params(self):
         cfg = MetaOptimConfig(learn_model_init=False, init_lr=1e-9)
         start = {"w": jnp.full((2, 3), 7.0), "b": jnp.zeros((3,))}
