@@ -363,6 +363,139 @@ def one_shot_packed(
     return pack_mask_bits(probs >= cfg.threshold)
 
 
+def one_shot_packed_ona(
+    model_apply: Callable,
+    meta_cfg: MetaOptimConfig,
+    cfg: OneShotConfig,
+    orig_hw,
+    meta_params: MetaParams,
+    key: Array,
+    support_img: Array,
+    support_label: Array,
+    windows: Array,
+    wn_real: Array,
+    init_params: Any = None,
+) -> Array:
+    """The flagship e-OSVOS-OnA serving program: one-shot fine-tune →
+    fused windowed online adaptation → threshold → bit-pack, as ONE XLA
+    program (``one_shot_packed`` composed with ``propagate_windows_fused``).
+
+    ``windows``: [Wn, step, H, W, 3] frames AFTER the support frame
+    (``stack_windows``). Returns uint8 [Wn*step, H, ceil(W/8)] packed
+    masks for those frames; the caller crops replicated tail rows and any
+    bucket padding host-side. The reference's steady-state OnA timing
+    (evaluate.py:152) maps onto exactly this region: everything between
+    consuming a staged frame stack and materializing the masks.
+    """
+    from e_osvos_tpu.ops.bits import pack_mask_bits
+
+    params, _ = fine_tune_on_support(
+        model_apply, meta_cfg, cfg, meta_params, key, support_img,
+        support_label, init_params,
+    )
+    probs, _ = propagate_windows_fused(
+        model_apply, meta_cfg, cfg, orig_hw, meta_params, support_img,
+        support_label, windows, params, wn_real,
+    )
+    return pack_mask_bits(probs >= cfg.threshold)
+
+
+def _fine_tune_objects(
+    model_apply: Callable,
+    meta_cfg: MetaOptimConfig,
+    cfg: OneShotConfig,
+    meta_params: MetaParams,
+    key: Array,
+    support_img: Array,
+    labels: Array,
+    init_params: Any,
+):
+    """vmapped one-shot fine-tune over the object axis with the SAME key
+    schedule as ``_eval_objects_batched`` (object i gets fold_in(key, i)),
+    so stream results stay bit-equal to the per-sequence driver."""
+    n = labels.shape[0]
+    keys = jax.vmap(lambda i: jax.random.fold_in(key, i))(jnp.arange(n))
+    params_o, _ = jax.vmap(
+        lambda k, l: fine_tune_on_support(
+            model_apply, meta_cfg, cfg, meta_params, k, support_img, l,
+            init_params,
+        )
+    )(keys, labels)
+    return params_o
+
+
+def _pack_merged_planes(merged: Array, num_objects: int) -> Array:
+    """[T,H,W] merged labels → uint8 [O,T,H,ceil(W/8)] per-object bit
+    planes (plane o is ``merged == o+1``). Planes are disjoint by argmax
+    construction, so the host reconstructs the label map exactly while the
+    wire carries O/8 bytes per pixel instead of 1."""
+    from e_osvos_tpu.ops.bits import pack_mask_bits
+
+    ids = 1 + jnp.arange(num_objects)
+    planes = merged[None] == ids[:, None, None, None]
+    return pack_mask_bits(planes)
+
+
+def one_shot_packed_objects(
+    model_apply: Callable,
+    meta_cfg: MetaOptimConfig,
+    cfg: OneShotConfig,
+    meta_params: MetaParams,
+    key: Array,
+    support_img: Array,
+    labels: Array,
+    frames: Array,
+    init_params: Any = None,
+) -> Array:
+    """Multi-object serving program (no OnA): vmapped fine-tune over the
+    object axis, full-stack segmentation, per-pixel argmax merge
+    (evaluate.py:322-326), per-object bit-plane pack — ONE XLA program.
+    labels: [O,H,W] binarized {0,1,255} per object group. Returns uint8
+    [O, T, H, ceil(W/8)]; the support row and any frames before it are
+    overwritten host-side (GT / zeros), as ``eval_sequence`` does."""
+    params_o = _fine_tune_objects(
+        model_apply, meta_cfg, cfg, meta_params, key, support_img, labels,
+        init_params,
+    )
+    probs = jax.vmap(
+        lambda p: segment_frames(model_apply, cfg, p, frames)
+    )(params_o)  # [O,T,H,W]
+    merged = merge_objects(probs, cfg.threshold)
+    return _pack_merged_planes(merged, labels.shape[0])
+
+
+def one_shot_packed_objects_ona(
+    model_apply: Callable,
+    meta_cfg: MetaOptimConfig,
+    cfg: OneShotConfig,
+    orig_hw,
+    meta_params: MetaParams,
+    key: Array,
+    support_img: Array,
+    labels: Array,
+    windows: Array,
+    wn_real: Array,
+    init_params: Any = None,
+) -> Array:
+    """Multi-object OnA serving program: vmapped fine-tune + fused windowed
+    online adaptation over the object axis (the device schedule of
+    ``_eval_objects_batched``'s fused path), argmax merge, bit-plane pack —
+    ONE XLA program per sequence. Returns uint8 [O, Wn*step, H, ceil(W/8)]
+    for the frames after the shared support frame."""
+    params_o = _fine_tune_objects(
+        model_apply, meta_cfg, cfg, meta_params, key, support_img, labels,
+        init_params,
+    )
+    w_flat, _ = jax.vmap(
+        lambda l, p: propagate_windows_fused(
+            model_apply, meta_cfg, cfg, orig_hw, meta_params, support_img,
+            l, windows, p, wn_real,
+        )
+    )(labels, params_o)  # [O, Wn*step, H, W]
+    merged = merge_objects(w_flat, cfg.threshold)
+    return _pack_merged_planes(merged, labels.shape[0])
+
+
 def _pad_frame_np(img: np.ndarray, hw) -> np.ndarray:
     """Zero-pad one [H,W,3] host frame bottom/right to the device
     geometry (bucket padding) before its standalone upload."""
@@ -407,7 +540,7 @@ class OneShotEvaluator:
         # fused_ona=False as the reference formulation
         self.fused_ona = fused_ona and cfg.online_adapt_step > 0
         self._fused_cache: Dict[Any, Callable] = {}
-        self._jit_stream: Optional[Callable] = None
+        self._stream_cache: Dict[Any, Callable] = {}
         self._jit_ft = jax.jit(
             partial(fine_tune_on_support, model_apply, meta_cfg, cfg)
         )
@@ -614,6 +747,32 @@ class OneShotEvaluator:
             "F_mean": float(np.nanmean(f_means)) if f_means else float("nan"),
         }
 
+    def _stream_fn(self, kind: str, orig_hw) -> Callable:
+        """Jitted serving program, cached per (kind, orig_hw). kind ∈
+        {plain, ona, objs, objs_ona}; orig_hw is static only for the OnA
+        variants (pseudo-GT bucket-crop geometry baked into the refits,
+        same caching as ``_fused_propagate``)."""
+        k = (kind, orig_hw)
+        fn = self._stream_cache.get(k)
+        if fn is None:
+            base = {
+                "plain": one_shot_packed,
+                "objs": one_shot_packed_objects,
+            }.get(kind)
+            if base is not None:
+                fn = jax.jit(
+                    partial(base, self.model_apply, self.meta_cfg, self.cfg)
+                )
+            else:
+                base = (one_shot_packed_ona if kind == "ona"
+                        else one_shot_packed_objects_ona)
+                fn = jax.jit(
+                    partial(base, self.model_apply, self.meta_cfg, self.cfg,
+                            orig_hw)
+                )
+            self._stream_cache[k] = fn
+        return fn
+
     def eval_stream(
         self,
         index,
@@ -623,55 +782,136 @@ class OneShotEvaluator:
         init_params: Any = None,
     ) -> Dict[str, np.ndarray]:
         """Pipelined one-shot segmentation over many sequences (serving
-        mode, no online adaptation; single object group per sequence).
+        mode), covering the full flagship protocol: online adaptation
+        (fused windowed refits) and multi-object sequences (objects as a
+        vmapped batch axis, argmax-merged on device).
 
         jax dispatch is asynchronous, so issuing every sequence's fused
-        (fine-tune → segment → threshold → pack) program before fetching
-        ANY result overlaps the three wire phases: sequence k+1's
-        [T,H,W,3] upload streams while sequence k computes, and only
-        bit-packed masks (8 px/byte) come back, drained in order at the
-        end. This is the steady-state deployment shape — the reference's
-        DataLoader worker pool plays the same overlap role on its side
-        (SURVEY.md §2.3). Returns {name: uint8 [T,H,W]} with the support
-        row replaced by GT (evaluate.py protocol: frame 0 is given).
+        (fine-tune [→ OnA windows] → threshold/merge → bit-pack) program
+        before fetching ANY result overlaps the three wire phases:
+        sequence k+1's [T,H,W,3] upload streams while sequence k computes,
+        and only bit-packed masks (8 px/byte; one plane per object) come
+        back, drained in order at the end. This is the steady-state
+        deployment shape — the reference's DataLoader worker pool plays
+        the same overlap role on its side (SURVEY.md §2.3).
+
+        Key schedule mirrors ``eval_sequence`` exactly, so stream(key)
+        row i equals eval_sequence(fold_in(key, i)) bit-exactly on the
+        matching path (single object: the serial fused path; multi-object
+        shared support: the batched fused path). Objects with distinct
+        support frames (YT-VOS mid-sequence entries) fall back to the
+        per-sequence driver for that sequence.
+
+        Returns {name: uint8 [T,H,W]} label maps (0 = background, k+1 =
+        object k; single-object sequences yield {0,1} masks) with the
+        support row replaced by GT and frames before it zero
+        (evaluate.py protocol: frame 0 is given).
         """
         from e_osvos_tpu.data.loader import load_frames
 
-        if self._jit_stream is None:
-            # no donation: the packed output is 24x smaller than the frame
-            # stack, so no buffer could be reused anyway (XLA frees the
-            # stack as soon as the last segment batch consumes it)
-            self._jit_stream = jax.jit(
-                partial(one_shot_packed, self.model_apply, self.meta_cfg,
-                        self.cfg)
-            )
-        pend = []
+        cfg = self.cfg
+        pend: List[Tuple] = []
         for i, name in enumerate(seq_names):
             seq = index.sequences[name]
-            group = seq.object_groups[0]
-            sf = group.support_frame
+            groups = seq.object_groups
+            key_i = jax.random.fold_in(key, i)
+            same_support = len({g.support_frame for g in groups}) == 1
+            multi = self.batch_objects and len(groups) > 1 and same_support
+            if len(groups) > 1 and not multi:
+                res = self.eval_sequence(
+                    index, name, meta_params, key_i, init_params
+                )
+                pend.append(("done", name, res["merged"].astype(np.uint8)))
+                continue
             frames_np = load_frames(index, name)
-            gt_bin = binarize_label(index.get_label(name, sf),
-                                    group.object_ids)
-            # support frame first (small), then the full stack (large,
-            # streams while the previous sequence computes)
-            sup = jnp.asarray(frames_np[sf])
-            label = jnp.asarray(gt_bin, jnp.int32)
-            frames_j = jnp.asarray(frames_np)
-            # key schedule mirrors eval_sequence → _eval_object_group:
-            # per-sequence fold, the (single) group's fold, then the
-            # fine-tune split — stream(key) row i equals
-            # eval_sequence(fold_in(key, i)) bit-exactly
-            gkey = jax.random.fold_in(jax.random.fold_in(key, i), 0)
-            k_ft, _ = jax.random.split(gkey)
-            packed = self._jit_stream(
-                meta_params, k_ft, sup, label, frames_j, init_params,
+            T, h0, w0 = frames_np.shape[:3]
+            hw_dev = (
+                transforms.bucket_hw(h0, w0, cfg.pad_multiple)
+                if cfg.pad_multiple else (h0, w0)
             )
-            pend.append((name, sf, gt_bin, packed, frames_np.shape[2]))
+            sf = groups[0].support_frame
+            gt = index.get_label(name, sf)
+            # support frame + label first (small uploads): the fine-tune
+            # dispatches and runs while the full stack streams up
+            sup = jnp.asarray(_pad_frame_np(frames_np[sf], hw_dev))
+            frames_j = jnp.asarray(frames_np)
+            if cfg.pad_multiple:
+                frames_j = transforms.pad_frames_to_multiple(
+                    frames_j, cfg.pad_multiple
+                )
+            ona = cfg.online_adapt_step > 0 and sf + 1 < T
+            if multi:
+                gt_bins = np.stack(
+                    [binarize_label(gt, g.object_ids) for g in groups]
+                )
+                labels = jax.vmap(
+                    lambda l: transforms.pad_label_to(l, hw_dev)
+                )(jnp.asarray(gt_bins, jnp.int32))
+                if ona:
+                    windows, r, wn_real = stack_windows(
+                        frames_j[sf + 1:], cfg.online_adapt_step,
+                        cfg.ona_window_bucket,
+                    )
+                    packed = self._stream_fn("objs_ona", (h0, w0))(
+                        meta_params, key_i, sup, labels, windows,
+                        jnp.int32(wn_real), init_params,
+                    )
+                    row0, rows = sf + 1, min(r, T - sf - 1)
+                else:
+                    packed = self._stream_fn("objs", None)(
+                        meta_params, key_i, sup, labels, frames_j,
+                        init_params,
+                    )
+                    row0, rows = 0, T
+                pend.append(("multi", name, (sf, gt_bins, (T, h0, w0),
+                                             row0, rows, packed)))
+            else:
+                gt_bin = binarize_label(gt, groups[0].object_ids)
+                label = transforms.pad_label_to(
+                    jnp.asarray(gt_bin, jnp.int32), hw_dev
+                )
+                gkey = jax.random.fold_in(key_i, 0)
+                k_ft, _ = jax.random.split(gkey)
+                if ona:
+                    windows, r, wn_real = stack_windows(
+                        frames_j[sf + 1:], cfg.online_adapt_step,
+                        cfg.ona_window_bucket,
+                    )
+                    packed = self._stream_fn("ona", (h0, w0))(
+                        meta_params, k_ft, sup, label, windows,
+                        jnp.int32(wn_real), init_params,
+                    )
+                    row0, rows = sf + 1, min(r, T - sf - 1)
+                else:
+                    packed = self._stream_fn("plain", None)(
+                        meta_params, k_ft, sup, label, frames_j,
+                        init_params,
+                    )
+                    row0, rows = 0, T
+                pend.append(("single", name, (sf, gt_bin[None], (T, h0, w0),
+                                              row0, rows, packed)))
         out = {}
-        for name, sf, gt_bin, packed, w in pend:
-            mask = unpack_bits_host(np.asarray(packed), w)
-            mask[sf] = (gt_bin == 1).astype(np.uint8)
+        for tag, name, payload in pend:
+            if tag == "done":
+                out[name] = payload
+                continue
+            sf, gt_bins, (T, h0, w0), row0, rows, packed = payload
+            mask = np.zeros((T, h0, w0), np.uint8)
+            bits = unpack_bits_host(np.asarray(packed), w0)
+            if tag == "single":
+                mask[row0:row0 + rows] = bits[:rows, :h0]
+            else:  # per-object disjoint bit planes → label map
+                ids = np.arange(1, gt_bins.shape[0] + 1, dtype=np.uint8)
+                merged = np.einsum(
+                    "orhw,o->rhw", bits[:, :rows, :h0].astype(np.uint8), ids
+                )
+                mask[row0:row0 + rows] = merged
+            if sf > 0:
+                mask[:sf] = 0
+            mask[sf] = np.einsum(
+                "ohw,o->hw", (gt_bins == 1).astype(np.uint8),
+                np.arange(1, gt_bins.shape[0] + 1, dtype=np.uint8),
+            )
             out[name] = mask
         return out
 
