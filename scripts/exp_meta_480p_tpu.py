@@ -91,14 +91,33 @@ def main():
     meta_cfg = MetaOptimConfig(lr_hierarchy_level="neuron", init_lr=1e-3,
                                learn_model_init=True, use_log_init_lr=False)
 
-    # 480p training sequences; held-out sequences at the DAVIS eval geometry
+    # 480p training sequences; held-out sequences at the DAVIS eval geometry.
+    # Half the training sequences carry the HARD augmentations (same-color
+    # distractors / occluders / muted contrast) so the learned optimizer
+    # trains on the discrimination problem the hard held-out set poses —
+    # the in-framework analogue of the reference's copy-paste task
+    # augmentation (meta_tasksets.py:109-150).
     train_idx = SyntheticVOSIndex(num_sequences=ARGS.train_seqs, num_frames=6,
                                   size=(480, 854), num_objects=1, seed=0)
+    train_hard_idx = SyntheticVOSIndex(
+        num_sequences=ARGS.train_seqs // 2, num_frames=6, size=(480, 854),
+        num_objects=2, distractors=2, occluders=1, contrast=0.6, seed=1,
+        name_prefix="trh",
+    )
     held = SyntheticVOSIndex(num_sequences=ARGS.held_seqs, num_frames=10,
                              size=(480, 854), num_objects=1, seed=100,
                              name_prefix="held")
+    # HARD held-out protocol (round-3 verdict item 8): same-color
+    # distractors + occluders + 2 objects + muted contrast — built so a
+    # random init cannot coast on color separability (the round-3 easy set
+    # gave it J=0.832, leaving the meta uplift only 0.17 of headroom)
+    held_hard = SyntheticVOSIndex(
+        num_sequences=max(ARGS.held_seqs // 2, 2), num_frames=10,
+        size=(480, 854), num_objects=2, distractors=2, occluders=1,
+        contrast=0.6, seed=200, name_prefix="hard",
+    )
     taskset = MetaTaskset(
-        [train_idx],
+        [train_idx, train_hard_idx],
         MetaTasksetConfig(num_query_frames=1, crop_size=(480, 480)),
         seed=0,
     )
@@ -152,10 +171,10 @@ def main():
         with open(_OUT, "w") as f:
             json.dump(result, f)
 
-    def eval_held(mp, tag):
+    def eval_held(mp, tag, index=held):
         js = []
-        for n in held.sequences:
-            r = ev.eval_sequence(held, n, mp, jax.random.PRNGKey(5))
+        for n in index.sequences:
+            r = ev.eval_sequence(index, n, mp, jax.random.PRNGKey(5))
             js.append(r["J_mean"])
             print(f"  [{tag}] {n}: J={r['J_mean']:.4f} "
                   f"F={r['F_mean']:.4f}", flush=True)
@@ -168,6 +187,11 @@ def main():
     result["j_random_init"] = j_rand
     print(f"random-init held-out J = {j_rand:.4f} "
           f"({time.time()-t_ev0:.0f}s incl. compile)", flush=True)
+    j_rand_hard = eval_held(
+        init_meta_params(meta_cfg, params), "rand-hard", held_hard
+    )
+    result["j_random_init_hard"] = j_rand_hard
+    print(f"random-init HARD held-out J = {j_rand_hard:.4f}", flush=True)
     dump()
 
     t0 = time.time()
@@ -189,12 +213,15 @@ def main():
 
     train_s = time.time() - t0
     j_meta = eval_held(trainer.meta_params, "meta")
+    j_meta_hard = eval_held(trainer.meta_params, "meta-hard", held_hard)
     result.update({
         "status": "done",
         "train_s": train_s,
         "s_per_iter": train_s / max(done, 1),
         "j_meta": j_meta,
         "j_uplift": j_meta - j_rand,
+        "j_meta_hard": j_meta_hard,
+        "j_uplift_hard": j_meta_hard - j_rand_hard,
     })
     dump()
     print(f"held-out J (e-OSVOS-10 protocol, 480x854): "

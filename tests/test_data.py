@@ -219,6 +219,45 @@ class TestSynthetic:
         assert len(groups) == 1
         assert groups[0].object_ids == (1, 2, 3)
 
+    def test_hard_variant_defeats_color_keying(self):
+        """Round-3 verdict item 8: the HARD held-out set must not be
+        solvable by color separability alone — each target has same-color
+        distractor shapes labeled 0, so a color-keyed predictor's IoU is
+        bounded well below 1."""
+        idx = SyntheticVOSIndex(
+            num_sequences=2, num_frames=8, size=(96, 160), num_objects=2,
+            distractors=2, occluders=1, contrast=0.6, seed=7,
+            name_prefix="hard",
+        )
+        lbl0 = idx.get_label("hard00", 0)
+        img0 = idx.get_image("hard00", 0).astype(np.float32)
+        # support frame clean: both targets visible (occluders enter later)
+        assert (lbl0 == 1).sum() > 50 and (lbl0 == 2).sum() > 50
+        for oid in (1, 2):
+            c = img0[lbl0 == oid].mean(axis=0)
+            near = np.abs(img0 - c).sum(axis=-1) < 40
+            tp = int((near & (lbl0 == oid)).sum())
+            fp = int((near & (lbl0 == 0)).sum())
+            # color-keyed IoU upper bound = tp / (tp + fp) — the distractors
+            # must push it below 0.6
+            assert fp > tp * 0.6, (tp, fp)
+        # an occluder actually covers part of a target mid-sequence
+        areas = [(idx.get_label("hard00", t) == 1).sum() for t in range(8)]
+        assert min(areas) < 0.8 * areas[0]
+
+    def test_hard_variant_default_unchanged(self):
+        """The hard knobs must not perturb the default fixture's PRNG
+        stream (every existing test/bench keys on it)."""
+        a = SyntheticVOSIndex(num_sequences=1, num_frames=3, seed=3)
+        b = SyntheticVOSIndex(num_sequences=1, num_frames=3, seed=3,
+                              distractors=0, occluders=0, contrast=1.0)
+        np.testing.assert_array_equal(
+            a.get_image("seq00", 2), b.get_image("seq00", 2)
+        )
+        np.testing.assert_array_equal(
+            a.get_label("seq00", 2), b.get_label("seq00", 2)
+        )
+
 
 class TestBinarize:
     def test_keep_ignore(self):
