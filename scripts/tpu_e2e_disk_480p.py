@@ -54,102 +54,32 @@ _ap.add_argument("--parent-iters", type=int, default=600,
                       "in this environment, a from-scratch parent on "
                       "held-out synthetic sequences is the honest "
                       "equivalent — random init detects nothing (J=0).")
+_ap.add_argument("--tree", default=None,
+                 help="reuse an existing disk tree (skip building)")
+_ap.add_argument("--parent-ckpt", default=None,
+                 help="MaskRCNN only: reuse this parent checkpoint instead "
+                      "of training one (--parent-iters is then only a tag)")
+_ap.add_argument("--meta-ckpt", default=None,
+                 help="meta-optimizer checkpoint (meta_optim_model_file): "
+                      "eval fine-tunes with the LEARNED init + lrs instead "
+                      "of constant-lr SGD from the parent init — the "
+                      "reference's actual eval configuration "
+                      "(evaluate.py:119-121 always loads a meta state)")
+_ap.add_argument("--tag", default=None,
+                 help="row-key override for BENCH_DISK_480P.json")
+_ap.add_argument("--per-frame-j", action="store_true",
+                 help="also record the per-frame J curve (computed from "
+                      "the exported PNGs vs the tree's GT) — separates "
+                      "mask-quality failures (uniformly low) from "
+                      "propagation drift (decaying)")
 ARGS = _ap.parse_args()
 
-H, W, T = 480, 854, 67  # DAVIS 480p geometry, val-average sequence length
-
-_PALETTE = [0, 0, 0, 128, 0, 0, 0, 128, 0] + [0] * 759
-
-
-def _texture(rng, shade):
-    """Low-frequency textured background so JPEG round-trips look like
-    photographs rather than flat synthetic fills."""
-    coarse = rng.randint(0, 255, (H // 8 + 1, W // 8 + 1, 3), np.uint8)
-    img = np.asarray(
-        Image.fromarray(coarse).resize((W, H), Image.BILINEAR), np.float32
-    )
-    return (0.35 * img + 0.65 * shade).astype(np.uint8)
-
-
-def _blob_mask(cx, cy, rx, ry, angle):
-    """Rotated-ellipse object mask (irregular boundary lengths exercise the
-    boundary-F machinery more than axis-aligned squares)."""
-    yy, xx = np.mgrid[0:H, 0:W].astype(np.float32)
-    ca, sa = np.cos(angle), np.sin(angle)
-    u = (xx - cx) * ca + (yy - cy) * sa
-    v = -(xx - cx) * sa + (yy - cy) * ca
-    return (u / rx) ** 2 + (v / ry) ** 2 <= 1.0
-
-
-def build_tree(root, with_train=False):
-    rng = np.random.RandomState(7)
-    specs = {
-        # one object, translating + slowly scaling
-        "drift": [dict(color=(200, 60, 40), x0=140, y0=200, dx=8.0, dy=1.2,
-                       rx=70, ry=45, drx=0.35)],
-        # two objects crossing paths (multi-object merge + per-object OnA)
-        "crossing": [
-            dict(color=(40, 170, 220), x0=120, y0=130, dx=8.5, dy=2.4,
-                 rx=55, ry=40, drx=0.0),
-            dict(color=(230, 200, 50), x0=680, y0=330, dx=-7.5, dy=-1.8,
-                 rx=48, ry=62, drx=0.2),
-        ],
-    }
-    train_specs = {
-        # detection-parent training sequences: DISJOINT colors/trajectories
-        # from the val sequences above (the parent must generalize to the
-        # val objects through the one-shot fine-tune, not memorize them)
-        "tr_a": [dict(color=(90, 220, 90), x0=200, y0=150, dx=6.0, dy=3.0,
-                      rx=60, ry=50, drx=0.2)],
-        "tr_b": [dict(color=(180, 90, 200), x0=600, y0=300, dx=-6.5, dy=-2.0,
-                      rx=45, ry=65, drx=0.0)],
-        "tr_c": [
-            dict(color=(240, 140, 40), x0=150, y0=320, dx=7.0, dy=-2.2,
-                 rx=52, ry=42, drx=0.3),
-            dict(color=(60, 60, 230), x0=700, y0=140, dx=-8.0, dy=2.6,
-                 rx=58, ry=48, drx=0.1),
-        ],
-        "tr_d": [dict(color=(150, 150, 150), x0=420, y0=240, dx=4.0, dy=4.0,
-                      rx=75, ry=38, drx=0.25)],
-    }
-    if with_train:
-        specs = {**specs, **train_specs}
-    for seq, objs in specs.items():
-        jd = os.path.join(root, "JPEGImages", "480p", seq)
-        ad = os.path.join(root, "Annotations", "480p", seq)
-        os.makedirs(jd)
-        os.makedirs(ad)
-        shade = rng.randint(60, 120, 3).astype(np.float32)
-        for t in range(T):
-            img = _texture(rng, shade)
-            lbl = np.zeros((H, W), np.uint8)
-            for oid, o in enumerate(objs, start=1):
-                m = _blob_mask(
-                    o["x0"] + o["dx"] * t, o["y0"] + o["dy"] * t,
-                    o["rx"] + o["drx"] * t, o["ry"], angle=0.03 * t,
-                )
-                for c in range(3):
-                    img[..., c] = np.where(
-                        m,
-                        (0.8 * o["color"][c] + 0.2 * img[..., c]).astype(
-                            np.uint8
-                        ),
-                        img[..., c],
-                    )
-                lbl[m] = oid
-            Image.fromarray(img).save(
-                os.path.join(jd, f"{t:05d}.jpg"), quality=92
-            )
-            im = Image.fromarray(lbl, mode="P")
-            im.putpalette(_PALETTE)
-            im.save(os.path.join(ad, f"{t:05d}.png"))
-    sets = os.path.join(root, "ImageSets", "2017")
-    os.makedirs(sets)
-    with open(os.path.join(sets, "val.txt"), "w") as f:
-        f.write("drift\ncrossing\n")
-    if with_train:
-        with open(os.path.join(sets, "train.txt"), "w") as f:
-            f.write("".join(s + "\n" for s in sorted(train_specs)))
+from e_osvos_tpu.data.synthetic_disk import (  # noqa: E402
+    H480 as H,
+    T480 as T,
+    W480 as W,
+    build_480p_tree as build_tree,
+)
 
 
 def main():
@@ -162,9 +92,13 @@ def main():
 
     detect = ARGS.arch == "MaskRCNN"
     work = tempfile.mkdtemp(prefix="davis480_")
-    tree = os.path.join(work, "DAVIS")
-    build_tree(tree, with_train=detect and ARGS.parent_iters > 0)
-    print(f"tree built at {tree}", flush=True)
+    if ARGS.tree:
+        tree = ARGS.tree
+        print(f"reusing tree at {tree}", flush=True)
+    else:
+        tree = os.path.join(work, "DAVIS")
+        build_tree(tree, with_train=detect and ARGS.parent_iters > 0)
+        print(f"tree built at {tree}", flush=True)
 
     if detect:
         arch_args = [
@@ -180,7 +114,10 @@ def main():
             "parent_model.detections_per_img=1",
         ]
         variant = "maskrcnn"
-        if ARGS.parent_iters > 0:
+        if ARGS.parent_ckpt:
+            arch_args.append(f"parent_model.checkpoint={ARGS.parent_ckpt}")
+            print(f"reusing parent: {ARGS.parent_ckpt}", flush=True)
+        elif ARGS.parent_iters > 0:
             from e_osvos_tpu.cli import train_parent as tp_cli
 
             pdir = os.path.join(work, "parent")
@@ -213,6 +150,10 @@ def main():
             f"parent_model.output_stride={ARGS.stride}",
         ]
         variant = f"dense_os{ARGS.stride}"
+    if ARGS.meta_ckpt:
+        arch_args.append(f"meta_optim_model_file={ARGS.meta_ckpt}")
+    if ARGS.tag:
+        variant = ARGS.tag
 
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     bench_path = os.path.join(repo, "BENCH_DISK_480P.json")
@@ -259,6 +200,26 @@ def main():
                     "F_mean": round(r["F_mean"], 4),
                     "num_sequences": r["num_sequences"],
                 })
+        if ARGS.per_frame_j and pass_i == 1:
+            # per-frame J from the exported PNGs vs the tree's GT: a flat
+            # low curve = per-frame mask quality; a decaying curve =
+            # propagation/pseudo-GT drift
+            for seq in sorted(os.listdir(os.path.join(out, "preds"))):
+                gt_dir = os.path.join(tree, "Annotations", "480p", seq)
+                pd_dir = os.path.join(out, "preds", seq)
+                curve = []
+                for t in range(1, T):
+                    gt = np.asarray(Image.open(
+                        os.path.join(gt_dir, f"{t:05d}.png")))
+                    pred = np.asarray(Image.open(
+                        os.path.join(pd_dir, f"{t:05d}.png")))
+                    js = []
+                    for oid in np.unique(gt[gt > 0]):
+                        g, p = gt == oid, pred == oid
+                        u = (g | p).sum()
+                        js.append(float((g & p).sum() / u) if u else 1.0)
+                    curve.append(round(float(np.mean(js)), 4) if js else 1.0)
+                entry.append({"seq": seq, "per_frame_J": curve})
         bench[f"{variant}_pass{pass_i}"] = entry
         with open(bench_path, "w") as f:
             json.dump(bench, f, indent=1)
