@@ -1,0 +1,136 @@
+"""Multi-object headline fps (round-3 verdict item 10).
+
+bench.py's headline runs 1-object sequences; DAVIS-2017 val averages ~2
+objects. The reference fine-tunes and propagates objects SERIALLY
+(/root/reference/src/util/evaluate.py:132 loops object groups), so its
+per-frame cost scales ~linearly with object count. Ours batches objects
+as a vmapped axis through fine-tune, propagation, AND OnA refits
+(engine/one_shot.py::_eval_objects_batched) — this records what that
+actually buys at the headline configuration.
+
+Methodology = bench.py (pre-staged frames, median over 3 sequences,
+threshold+argmax-merge+bit-pack fused into the fetch) on 2-object 480p
+sequences, e-OSVOS-50-OnA. The per-object reference anchor 0.35 fps
+becomes 0.175 fps for 2 objects (serial loop).
+
+Writes BENCH_MULTIOBJ.json. Run:
+  nohup python scripts/bench_multiobj.py > /tmp/multiobj.log 2>&1 &
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+
+jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_bench_cache")
+
+import jax.numpy as jnp  # noqa: E402
+import numpy as np  # noqa: E402
+
+BASELINE_FPS_1OBJ = 0.35  # e-OSVOS-50-OnA on V100, one object
+H, W, T, O = 480, 854, 67, 2
+
+
+def main():
+    from e_osvos_tpu.data.synthetic import SyntheticVOSIndex
+    from e_osvos_tpu.data.transforms import AugmentConfig
+    from e_osvos_tpu.engine import OneShotConfig, OneShotEvaluator
+    from e_osvos_tpu.meta_optim import MetaOptimConfig, init_meta_params
+    from e_osvos_tpu.models import DeepLabV3Plus
+    from e_osvos_tpu.ops.bits import pack_mask_bits, unpack_mask_bits
+
+    model = DeepLabV3Plus(
+        num_classes=1, arch="resnet50", backbone_norm="frozen_bn",
+        output_stride=16, dtype=jnp.bfloat16,
+    )
+    params = model.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, H, W, 3), jnp.float32)
+    )
+    meta_cfg = MetaOptimConfig(lr_hierarchy_level="neuron", init_lr=1e-3,
+                               learn_model_init=True, use_log_init_lr=False)
+    meta_params = init_meta_params(meta_cfg, params)
+    cfg = OneShotConfig(
+        num_epochs=50, batch_size=3, loss_func="dice",
+        online_adapt_step=5, online_adapt_epochs=10,
+        online_adapt_min_prop=0.75, augment=AugmentConfig(),
+    )
+    ev = OneShotEvaluator(model.apply, meta_cfg, cfg, fused_ona=True)
+    index = SyntheticVOSIndex(
+        num_sequences=4, num_frames=T, size=(H, W), num_objects=O,
+        multi_object="single_id", seed=0,
+    )
+    key = jax.random.PRNGKey(0)
+
+    # threshold + argmax-merge + bit-pack fused into ONE program: the
+    # [O,T,H,W] probs collapse to a [T,H,W] label map packed per object
+    # plane (CLAUDE.md: eager per-op dispatch over the tunnel is the enemy)
+    def _merge_pack(probs):  # [O,T,H,W]
+        fg = probs >= ev.cfg.threshold
+        best = jnp.argmax(probs, axis=0)
+        merged = jnp.where(jnp.any(fg, 0), best + 1, 0).astype(jnp.uint8)
+        planes = jnp.stack(
+            [(merged == (k + 1)) for k in range(O)]
+        )  # [O,T,H,W] bool
+        return pack_mask_bits(planes)
+
+    merge_pack = jax.jit(_merge_pack)
+    jit_touch = jax.jit(lambda x: jnp.sum(x[:, 0, 0, 0].astype(jnp.int32)))
+    staged = {}
+    for name in index.sequences:
+        f = jnp.asarray(
+            np.stack([index.get_image(name, t) for t in range(T)])
+        )
+        int(jit_touch(f))
+        staged[name] = f
+
+    def run_seq(name):
+        seq = index.sequences[name]
+        frames = staged[name]
+        sf = seq.object_groups[0].support_frame
+        probs = ev._eval_objects_batched(
+            index, seq, frames, meta_params, key, None,
+            support_img=frames[sf],
+        )  # [O,T,H,W]
+        packed = np.asarray(merge_pack(probs))
+        return unpack_mask_bits(packed, probs.shape[-1])
+
+    assert all(len(index.sequences[n].object_groups) == O
+               for n in index.sequences)
+    run_seq("seq00")  # warmup/compile
+    times = []
+    for name in ("seq01", "seq02", "seq03"):
+        t0 = time.perf_counter()
+        run_seq(name)
+        times.append(time.perf_counter() - t0)
+    fps = T / float(np.median(times))
+    js = [
+        ev.eval_sequence(index, n, meta_params, key)["J_mean"]
+        for n in ("seq01", "seq02")
+    ]
+    out = {
+        "metric": "fps_480p_e-OSVOS-50-OnA_2obj_incl_finetune",
+        "value": round(fps, 4),
+        "unit": "frames/sec (sequence frames, 2 objects batched)",
+        "vs_baseline": round(fps / (BASELINE_FPS_1OBJ / O), 3),
+        "baseline_fps_2obj_serial": BASELINE_FPS_1OBJ / O,
+        "J_mean": round(float(np.mean(js)), 4),
+        "objects": O,
+        "times_s": [round(t, 3) for t in times],
+        "note": "reference loops objects serially (evaluate.py:132) => "
+                "its 2-object fps is the 1-object anchor / 2; ours "
+                "vmaps objects through fine-tune+OnA+inference.",
+    }
+    print(json.dumps(out), flush=True)
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    with open(os.path.join(repo, "BENCH_MULTIOBJ.json"), "w") as f:
+        json.dump(out, f, indent=1)
+
+
+if __name__ == "__main__":
+    main()
