@@ -135,15 +135,19 @@ def build_breadth_tree(
     /root/reference/src/data/youtube.py:58-109) chosen so that with
     ``eval_pad_multiple=64`` they land in TWO buckets:
 
-      (480, 854), (476, 850), (448, 832)  →  (512, 896)
+      (480, 854), (476, 850), (452, 838)  →  (512, 896)
       (384, 640), (380, 636), (360, 632)  →  (384, 640)
+
+    ((448, 832) would NOT work in the first group: both sides are already
+    multiples of 64, so it would bucket to itself and add a third program
+    shape — caught by tests/test_data.py::TestBreadthTree.)
 
     Returns {seq: {"hw": (h, w), "objects": n}} for the driver script to
     assert the program-count bound against (6 native shapes x 3 object
     counts = 18 raw shape combinations vs 2 buckets x 3 object counts).
     """
     rng = np.random.RandomState(seed)
-    resolutions = [(480, 854), (476, 850), (448, 832),
+    resolutions = [(480, 854), (476, 850), (452, 838),
                    (384, 640), (380, 636), (360, 632)]
     meta: Dict[str, dict] = {}
     names = []

@@ -602,3 +602,39 @@ class TestPackedWarp:
         np.testing.assert_allclose(np.asarray(out_img), np.asarray(img), atol=1e-3)
         np.testing.assert_array_equal(np.asarray(out_lab), np.asarray(label))
         assert np.asarray(inside).all()
+
+
+class TestBreadthTree:
+    """data/synthetic_disk.py::build_breadth_tree — the heterogeneous-
+    resolution protocol fixture (round-3 verdict item 3). Checks the
+    on-disk layout is a valid DAVIS-2017 tree at MIXED native resolutions
+    and that the advertised bucket math holds: with eval_pad_multiple=64
+    the six native shapes collapse to exactly two padded buckets."""
+
+    def test_layout_resolutions_and_bucketing(self, tmp_path):
+        from e_osvos_tpu.data.synthetic_disk import build_breadth_tree
+
+        root = str(tmp_path / "DAVIS")
+        meta = build_breadth_tree(root, num_sequences=10, t_frames=3)
+        assert len(meta) == 10
+        # six distinct native resolutions, object counts cycle 1..3
+        shapes = {tuple(v["hw"]) for v in meta.values()}
+        assert len(shapes) == 6
+        assert {v["objects"] for v in meta.values()} == {1, 2, 3}
+
+        def bucket(hw, m=64):
+            return tuple(-(-d // m) * m for d in hw)
+
+        assert {bucket(s) for s in shapes} == {(512, 896), (384, 640)}
+
+        idx = DAVISIndex(root=root, split="val", year="2017")
+        assert len(idx.sequences) == 10
+        for name, info in meta.items():
+            img = idx.get_image(name, 0)
+            lbl = idx.get_label(name, 0)
+            assert img.shape[:2] == tuple(info["hw"])
+            assert lbl.shape == tuple(info["hw"])
+            # every advertised object id present in the support frame
+            assert set(range(1, info["objects"] + 1)) <= set(
+                np.unique(lbl[lbl > 0]).tolist()
+            )
