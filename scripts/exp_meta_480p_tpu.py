@@ -49,6 +49,13 @@ _ap.add_argument("--eval-every", type=int, default=100,
                  help="interleaved held-out eval interval (0 = end only)")
 _ap.add_argument("--save", default="/tmp/meta480_ckpt_r3",
                  help="checkpoint directory")
+_ap.add_argument("--resume", action="store_true",
+                 help="resume from {save}/last_meta_iter.ckpt (restores "
+                      "meta params + outer optimizer state + iteration "
+                      "count; reuses the recorded random-init baselines "
+                      "from the existing result JSON). For tunnel-drop "
+                      "recovery — the training loop is host-driven, so a "
+                      "dead axon RPC strands the client mid-iteration.")
 _ap.add_argument("--out", default=None,
                  help="result json (default <repo>/BENCH_META_480P.json)")
 _ap.add_argument("--model-init-lr", type=float, default=1e-4)
@@ -180,28 +187,54 @@ def main():
                   f"F={r['F_mean']:.4f}", flush=True)
         return float(np.mean(js))
 
+    resumed_from = 0
+    if ARGS.resume and os.path.exists(f"{ARGS.save}/last_meta_iter.ckpt"):
+        trainer.restore(f"{ARGS.save}/last_meta_iter.ckpt")
+        resumed_from = trainer.meta_iter
+        if os.path.exists(_OUT):
+            prev = json.load(open(_OUT))
+            # keep the recorded baselines + the loss curve up to the
+            # checkpointed iteration (later entries were never persisted
+            # in model state)
+            for k in ("j_random_init", "j_random_init_hard"):
+                if k in prev:
+                    result[k] = prev[k]
+            result["loss_curve"] = [
+                e for e in prev.get("loss_curve", []) if e[0] <= resumed_from
+            ]
+            result["eval_curve"] = [
+                e for e in prev.get("eval_curve", []) if e[0] <= resumed_from
+            ]
+        result["resumed_from"] = resumed_from
+        print(f"resumed at meta_iter={resumed_from}", flush=True)
+
     # random-init baseline FIRST, so the comparison target is on record even
     # if training is interrupted
-    t_ev0 = time.time()
-    j_rand = eval_held(init_meta_params(meta_cfg, params), "rand")
-    result["j_random_init"] = j_rand
-    print(f"random-init held-out J = {j_rand:.4f} "
-          f"({time.time()-t_ev0:.0f}s incl. compile)", flush=True)
-    j_rand_hard = eval_held(
-        init_meta_params(meta_cfg, params), "rand-hard", held_hard
-    )
-    result["j_random_init_hard"] = j_rand_hard
-    print(f"random-init HARD held-out J = {j_rand_hard:.4f}", flush=True)
+    if "j_random_init" not in result:
+        t_ev0 = time.time()
+        j_rand = eval_held(init_meta_params(meta_cfg, params), "rand")
+        result["j_random_init"] = j_rand
+        print(f"random-init held-out J = {j_rand:.4f} "
+              f"({time.time()-t_ev0:.0f}s incl. compile)", flush=True)
+        j_rand_hard = eval_held(
+            init_meta_params(meta_cfg, params), "rand-hard", held_hard
+        )
+        result["j_random_init_hard"] = j_rand_hard
+        print(f"random-init HARD held-out J = {j_rand_hard:.4f}", flush=True)
+    j_rand = result["j_random_init"]
+    j_rand_hard = result["j_random_init_hard"]
     dump()
 
     t0 = time.time()
-    done = 0
+    done = resumed_from
     while done < ARGS.iters:
         out = trainer.run(1)
         done += 1
         result["loss_curve"].append([done, float(out["meta_loss"])])
         if done % 10 == 0:
-            result["s_per_iter"] = (time.time() - t0) / done
+            result["s_per_iter"] = (
+                (time.time() - t0) / (done - resumed_from)
+            )
             print(f"iter {done}: meta_loss={out['meta_loss']:.4f} "
                   f"({result['s_per_iter']:.2f} s/iter cum)", flush=True)
             dump()
@@ -217,7 +250,7 @@ def main():
     result.update({
         "status": "done",
         "train_s": train_s,
-        "s_per_iter": train_s / max(done, 1),
+        "s_per_iter": train_s / max(done - resumed_from, 1),
         "j_meta": j_meta,
         "j_uplift": j_meta - j_rand,
         "j_meta_hard": j_meta_hard,
@@ -227,7 +260,9 @@ def main():
     print(f"held-out J (e-OSVOS-10 protocol, 480x854): "
           f"meta-trained={j_meta:.4f}  random-init={j_rand:.4f} "
           f"(uplift {j_meta - j_rand:+.4f}); "
-          f"{train_s/max(done,1):.2f} s/iter over {done} iters", flush=True)
+          f"{train_s/max(done - resumed_from,1):.2f} s/iter over "
+          f"{done - resumed_from} iters (resumed from {resumed_from})",
+          flush=True)
 
 
 if __name__ == "__main__":
