@@ -123,6 +123,98 @@ def build_480p_tree(root: str, with_train: bool = False) -> None:
             f.write("".join(s + "\n" for s in sorted(train_specs)))
 
 
+def build_ytvos_tree(
+    root: str,
+    num_videos: int = 6,
+    t_frames: int = 25,
+    seed: int = 13,
+) -> Dict[str, dict]:
+    """YouTube-VOS-layout ``valid/`` tree at native heterogeneous
+    resolutions: ``valid/JPEGImages/<video>/<stem>.jpg`` +
+    ``valid/Annotations/<video>/<stem>.png`` + ``meta.json`` with
+    per-object frame ranges (reference layout
+    /root/reference/src/data/youtube.py:58-109). Distinctive YT-VOS
+    behaviors exercised:
+
+    * timestamp stems at the real 5-frame annotation stride
+      (youtube.py:97-109) rather than dense DAVIS indices;
+    * objects appearing MID-SEQUENCE: every odd video's second object is
+      first annotated at stem index 2, so it gets its own support frame
+      and object group (youtube.py:131-175);
+    * three native resolutions — (480,854) and (452,838) share the
+      (512,896) bucket under ``eval_pad_multiple=64``; (384,640) buckets
+      to itself — the heterogeneous-validation scenario the reference
+      handles by per-video reinitialization.
+
+    Returns {video: {"hw": (h,w), "objects": n, "entry_frames": {oid: t}}}.
+    """
+    rng = np.random.RandomState(seed)
+    resolutions = [(480, 854), (452, 838), (384, 640)]
+    base = os.path.join(root, "valid")
+    meta: Dict[str, dict] = {"videos": {}}
+    out: Dict[str, dict] = {}
+    stems = [f"{5 * t:05d}" for t in range(t_frames)]
+    for s in range(num_videos):
+        h, w = resolutions[s % len(resolutions)]
+        # odd videos: 2 objects, the second entering at stem index 2
+        entry = {1: 0} if s % 2 == 0 else {1: 0, 2: 2}
+        objs = {}
+        for oid, first in entry.items():
+            rx = rng.randint(w // 14, w // 9)
+            ry = rng.randint(h // 13, h // 8)
+            x0 = rng.randint(w // 4, 3 * w // 4)
+            y0 = rng.randint(h // 4, 3 * h // 4)
+            objs[oid] = dict(
+                color=tuple(int(c) for c in rng.randint(30, 240, 3)),
+                x0=x0, y0=y0,
+                dx=float(rng.uniform(-4, 4)), dy=float(rng.uniform(-2, 2)),
+                rx=rx, ry=ry, first=first,
+            )
+        name = f"video{s:02d}_{h}x{w}"
+        jd = os.path.join(base, "JPEGImages", name)
+        ad = os.path.join(base, "Annotations", name)
+        os.makedirs(jd)
+        os.makedirs(ad)
+        shade = rng.randint(60, 120, 3).astype(np.float32)
+        for t, stem in enumerate(stems):
+            img = _texture(rng, shade, h, w)
+            lbl = np.zeros((h, w), np.uint8)
+            for oid, o in sorted(objs.items()):
+                if t < o["first"]:
+                    continue
+                m = _blob_mask(
+                    o["x0"] + o["dx"] * t, o["y0"] + o["dy"] * t,
+                    o["rx"], o["ry"], 0.03 * t, h, w,
+                )
+                for c in range(3):
+                    img[..., c] = np.where(
+                        m,
+                        (0.8 * o["color"][c]
+                         + 0.2 * img[..., c]).astype(np.uint8),
+                        img[..., c],
+                    )
+                lbl[m] = oid
+            Image.fromarray(img).save(os.path.join(jd, stem + ".jpg"),
+                                      quality=92)
+            im = Image.fromarray(lbl, mode="P")
+            im.putpalette(_PALETTE)
+            im.save(os.path.join(ad, stem + ".png"))
+        meta["videos"][name] = {
+            "objects": {
+                str(oid): {"frames": stems[o["first"]:]}
+                for oid, o in objs.items()
+            }
+        }
+        out[name] = {"hw": (h, w), "objects": len(objs),
+                     "entry_frames": {oid: o["first"]
+                                      for oid, o in objs.items()}}
+    import json as _json
+
+    with open(os.path.join(base, "meta.json"), "w") as f:
+        _json.dump(meta, f)
+    return out
+
+
 def build_breadth_tree(
     root: str,
     num_sequences: int = 10,

@@ -638,3 +638,52 @@ class TestBreadthTree:
             assert set(range(1, info["objects"] + 1)) <= set(
                 np.unique(lbl[lbl > 0]).tolist()
             )
+
+
+class TestYtvosTree:
+    """data/synthetic_disk.py::build_ytvos_tree — the YT-VOS-layout
+    at-scale protocol fixture (scripts/tpu_ytvos_480p.py). Checks the
+    tree indexes through YouTubeVOSIndex with timestamp stems,
+    mid-sequence support frames, and the advertised 2-bucket collapse
+    under eval_pad_multiple=64."""
+
+    def test_layout_stems_and_mid_sequence_objects(self, tmp_path):
+        from e_osvos_tpu.data.datasets import YouTubeVOSIndex
+        from e_osvos_tpu.data.synthetic_disk import build_ytvos_tree
+
+        root = str(tmp_path / "YouTube-VOS")
+        meta = build_ytvos_tree(root, num_videos=6, t_frames=4)
+        assert len(meta) == 6
+        shapes = {tuple(v["hw"]) for v in meta.values()}
+        assert shapes == {(480, 854), (452, 838), (384, 640)}
+
+        def bucket(hw, m=64):
+            return tuple(-(-d // m) * m for d in hw)
+
+        assert {bucket(s) for s in shapes} == {(512, 896), (384, 640)}
+
+        idx = YouTubeVOSIndex(root, split="valid",
+                              multi_object="single_id")
+        assert set(idx.sequences) == set(meta)
+        for name, info in meta.items():
+            seq = idx.sequences[name]
+            # 5-stride timestamp stems, not dense indices
+            assert os.path.basename(seq.image_paths[1]) == "00005.jpg"
+            groups = seq.object_groups
+            assert [g.object_ids for g in groups] == [
+                (oid,) for oid in sorted(info["entry_frames"])
+            ]
+            # mid-sequence objects get their own support frame
+            assert [g.support_frame for g in groups] == [
+                info["entry_frames"][oid]
+                for oid in sorted(info["entry_frames"])
+            ]
+            img = idx.get_image(name, 0)
+            assert img.shape[:2] == tuple(info["hw"])
+            # the mid-sequence object is absent from earlier labels
+            for oid, first in info["entry_frames"].items():
+                if first > 0:
+                    early = idx.get_label(name, first - 1)
+                    assert oid not in np.unique(early)
+                sup = idx.get_label(name, first)
+                assert oid in np.unique(sup)
