@@ -41,6 +41,10 @@ _ap.add_argument("--ona", action="store_true",
                  help="flagship OnA protocol (default: e-OSVOS-50 no-OnA "
                       "— OnA multiplies compile count by window variants)")
 _ap.add_argument("--pad-multiple", type=int, default=64)
+_ap.add_argument("--out-suffix", default="",
+                 help="suffix for the artifact name (e.g. _ONA writes "
+                      "BENCH_BREADTH_ONA.json) so protocol variants "
+                      "don't overwrite each other")
 ARGS = _ap.parse_args()
 
 _REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
@@ -104,7 +108,8 @@ def main():
     }
 
     def dump():
-        with open(os.path.join(_REPO, "BENCH_BREADTH.json"), "w") as f:
+        name = f"BENCH_BREADTH{ARGS.out_suffix}.json"
+        with open(os.path.join(_REPO, name), "w") as f:
             json.dump(result, f, indent=1)
 
     dump()
