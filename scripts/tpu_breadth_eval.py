@@ -45,6 +45,10 @@ _ap.add_argument("--out-suffix", default="",
                  help="suffix for the artifact name (e.g. _ONA writes "
                       "BENCH_BREADTH_ONA.json) so protocol variants "
                       "don't overwrite each other")
+_ap.add_argument("--cache-dir", default=None,
+                 help="persistent compile-cache dir to share across "
+                      "runs (default: fresh tempdir so the pass-1 "
+                      "entry count is a clean program-count bound)")
 ARGS = _ap.parse_args()
 
 _REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
@@ -56,7 +60,8 @@ def main():
     from e_osvos_tpu.data.synthetic_disk import build_breadth_tree
 
     # fresh persistent cache => program count is countable
-    cache = tempfile.mkdtemp(prefix="jaxcache_breadth_")
+    cache = ARGS.cache_dir or tempfile.mkdtemp(prefix="jaxcache_breadth_")
+    os.makedirs(cache, exist_ok=True)
     jax.config.update("jax_compilation_cache_dir", cache)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 

@@ -38,6 +38,17 @@ _ap.add_argument("--videos", type=int, default=6)
 _ap.add_argument("--frames", type=int, default=25)
 _ap.add_argument("--pad-multiple", type=int, default=64)
 _ap.add_argument("--epochs", type=int, default=50)
+_ap.add_argument("--ona", action="store_true",
+                 help="flagship OnA protocol (tracking via 5-frame "
+                      "pseudo-GT refits; the no-OnA default loses "
+                      "far-moving objects from a random init)")
+_ap.add_argument("--out-suffix", default="",
+                 help="artifact name suffix (e.g. _ONA) so protocol "
+                      "variants don't overwrite each other")
+_ap.add_argument("--cache-dir", default=None,
+                 help="persistent compile-cache dir to share across "
+                      "runs (default: fresh tempdir so the pass-1 "
+                      "entry count is a clean program-count bound)")
 ARGS = _ap.parse_args()
 
 _REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
@@ -48,7 +59,8 @@ def main():
 
     from e_osvos_tpu.data.synthetic_disk import build_ytvos_tree
 
-    cache = tempfile.mkdtemp(prefix="jaxcache_ytvos_")
+    cache = ARGS.cache_dir or tempfile.mkdtemp(prefix="jaxcache_ytvos_")
+    os.makedirs(cache, exist_ok=True)
     jax.config.update("jax_compilation_cache_dir", cache)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 
@@ -78,23 +90,32 @@ def main():
         "parent_model.output_stride=16",
         "parent_model.dtype=bfloat16",
         f"num_epochs.eval={ARGS.epochs}",
-        "eval_online_adapt.step=0",
         f"eval_pad_multiple={ARGS.pad_multiple}",
     ]
+    if ARGS.ona:
+        base_args += [
+            "eval_online_adapt.step=5",
+            "eval_online_adapt.num_epochs=10",
+            "eval_online_adapt.min_prop=0.75",
+            "eval_ona_window_bucket=4",
+        ]
+    else:
+        base_args += ["eval_online_adapt.step=0"]
 
     def count_cache() -> int:
         return sum(len(fs) for _, _, fs in os.walk(cache))
 
     result = {
         "experiment": "ytvos_layout_480p",
-        "protocol": f"e-OSVOS-{ARGS.epochs} single_id "
-                    f"pad_multiple={ARGS.pad_multiple}",
+        "protocol": f"e-OSVOS-{ARGS.epochs}{'-OnA' if ARGS.ona else ''} "
+                    f"single_id pad_multiple={ARGS.pad_multiple}",
         "videos": meta,
         "status": "running",
     }
 
     def dump():
-        with open(os.path.join(_REPO, "BENCH_YTVOS.json"), "w") as f:
+        name = f"BENCH_YTVOS{ARGS.out_suffix}.json"
+        with open(os.path.join(_REPO, name), "w") as f:
             json.dump(result, f, indent=1)
 
     dump()
