@@ -111,7 +111,7 @@ def main():
     fps = T / float(np.median(times))
     js = [
         ev.eval_sequence(index, n, meta_params, key)["J_mean"]
-        for n in ("seq01", "seq02")
+        for n in ("seq01", "seq02", "seq03")
     ]
     out = {
         "metric": "fps_480p_e-OSVOS-50-OnA_2obj_incl_finetune",

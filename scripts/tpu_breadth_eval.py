@@ -48,7 +48,14 @@ _ap.add_argument("--out-suffix", default="",
 _ap.add_argument("--cache-dir", default=None,
                  help="persistent compile-cache dir to share across "
                       "runs (default: fresh tempdir so the pass-1 "
-                      "entry count is a clean program-count bound)")
+                      "entry count is a clean program-count bound; "
+                      "pre-existing entries are snapshotted so the "
+                      "counts stay deltas either way)")
+_ap.add_argument("--ckpt", default=None,
+                 help="meta checkpoint from scripts/exp_meta_480p_tpu.py "
+                      "(learned init + per-neuron lrs); default = random "
+                      "init. Loads via the eval CLI's meta_optim_model_file "
+                      "path (cli/common.py::resolve_meta_params).")
 ARGS = _ap.parse_args()
 
 _REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
@@ -99,16 +106,26 @@ def main():
             f"eval_ona_window_bucket=4",
         ]
 
+    if ARGS.ckpt:
+        base_args += [f"meta_optim_model_file={ARGS.ckpt}"]
+
     def count_cache() -> int:
         return sum(len(fs) for _, _, fs in os.walk(cache))
+
+    # snapshot pre-existing entries so pass-1/pass-2 counts are DELTAS and
+    # keep their program-count-bound meaning under a reused --cache-dir
+    cache_pre = count_cache()
 
     result = {
         "experiment": "breadth_eval",
         "protocol": ("e-OSVOS-50-OnA" if ARGS.ona else "e-OSVOS-50")
         + f" pad_multiple={ARGS.pad_multiple}",
+        "init": ("meta:" + os.path.basename(ARGS.ckpt)) if ARGS.ckpt
+                else "random",
         "sequences": meta,
         "native_resolutions": resolutions,
         "object_counts": obj_counts,
+        "cache_preexisting_entries": cache_pre,
         "status": "running",
     }
 
@@ -144,18 +161,20 @@ def main():
             ),
         }
         if pass_i == 1:
-            n = count_cache()
+            n = count_cache() - cache_pre
+            combos = sorted({(tuple(v["hw"]), v["objects"])
+                             for v in meta.values()})
             result["compiled_programs_pass1"] = n
             result["program_bound_note"] = (
-                f"{n} persistent-cache entries after the cold pass over "
-                f"{len(resolutions)} native resolutions x "
-                f"{len(obj_counts)} object counts (18 raw combos); "
-                "bucketing bounds big-program compiles by 2 buckets x "
-                "3 object counts."
+                f"{n} new persistent-cache entries after the cold pass over "
+                f"{len(combos)} realized (resolution x object-count) combos "
+                f"({len(resolutions)} native resolutions, "
+                f"{len(obj_counts)} object counts); bucketing bounds "
+                "big-program compiles by 2 buckets x 3 object counts."
             )
         else:
             result["compiled_programs_pass2_new"] = (
-                count_cache() - result["compiled_programs_pass1"]
+                count_cache() - cache_pre - result["compiled_programs_pass1"]
             )
         dump()
         print(json.dumps(result[f"pass{pass_i}"]), flush=True)

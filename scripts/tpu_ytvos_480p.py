@@ -48,7 +48,14 @@ _ap.add_argument("--out-suffix", default="",
 _ap.add_argument("--cache-dir", default=None,
                  help="persistent compile-cache dir to share across "
                       "runs (default: fresh tempdir so the pass-1 "
-                      "entry count is a clean program-count bound)")
+                      "entry count is a clean program-count bound; "
+                      "pre-existing entries are snapshotted so the "
+                      "counts stay deltas either way)")
+_ap.add_argument("--ckpt", default=None,
+                 help="meta checkpoint from scripts/exp_meta_480p_tpu.py "
+                      "(learned init + per-neuron lrs); default = random "
+                      "init. Loads via the eval CLI's meta_optim_model_file "
+                      "path (cli/common.py::resolve_meta_params).")
 ARGS = _ap.parse_args()
 
 _REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
@@ -101,15 +108,24 @@ def main():
         ]
     else:
         base_args += ["eval_online_adapt.step=0"]
+    if ARGS.ckpt:
+        base_args += [f"meta_optim_model_file={ARGS.ckpt}"]
 
     def count_cache() -> int:
         return sum(len(fs) for _, _, fs in os.walk(cache))
+
+    # snapshot pre-existing entries so pass-1/pass-2 counts are DELTAS and
+    # keep their program-count-bound meaning under a reused --cache-dir
+    cache_pre = count_cache()
 
     result = {
         "experiment": "ytvos_layout_480p",
         "protocol": f"e-OSVOS-{ARGS.epochs}{'-OnA' if ARGS.ona else ''} "
                     f"single_id pad_multiple={ARGS.pad_multiple}",
+        "init": ("meta:" + os.path.basename(ARGS.ckpt)) if ARGS.ckpt
+                else "random",
         "videos": meta,
+        "cache_preexisting_entries": cache_pre,
         "status": "running",
     }
 
@@ -141,10 +157,10 @@ def main():
             ),
         }
         if pass_i == 1:
-            result["compiled_programs_pass1"] = count_cache()
+            result["compiled_programs_pass1"] = count_cache() - cache_pre
         else:
             result["compiled_programs_pass2_new"] = (
-                count_cache() - result["compiled_programs_pass1"]
+                count_cache() - cache_pre - result["compiled_programs_pass1"]
             )
         dump()
         print(json.dumps(result[f"pass{pass_i}"]), flush=True)
