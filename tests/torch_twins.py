@@ -62,29 +62,39 @@ class Bottleneck(nn.Module):
 
 
 class ResnetTrunk(nn.Module):
-    """resnet10-shaped trunk (1 block/stage, widths 8/16/32/64) with
-    torchvision naming (conv1/bn1/layer1..4) and torchvision
-    replace_stride_with_dilation semantics."""
+    """ResNet trunk with torchvision naming (conv1/bn1/layer1..4) and
+    torchvision replace_stride_with_dilation/_make_layer semantics.
+    Defaults to the miniature resnet10 shape (1 block/stage, widths
+    8/16/32/64); pass ``widths=(64,128,256,512), blocks=(3,4,6,3),
+    stem=64`` for the real resnet50 shape (full-width import parity,
+    reference deeplabv3plus.py:113-118 / mask_rcnn.py:431)."""
 
-    def __init__(self, dilate=(False, False, False), norm=None):
+    def __init__(self, dilate=(False, False, False), norm=None,
+                 widths=(8, 16, 32, 64), blocks=(1, 1, 1, 1), stem=8):
         super().__init__()
         norm = norm or (lambda c: gn(4, c))
-        self.conv1 = nn.Conv2d(3, 8, 7, stride=2, padding=3, bias=False)
-        self.bn1 = norm(8)
+        self.conv1 = nn.Conv2d(3, stem, 7, stride=2, padding=3, bias=False)
+        self.bn1 = norm(stem)
         self.maxpool = nn.MaxPool2d(3, stride=2, padding=1)
         dilation = 1
-        in_ch = 8
-        for i, filters in enumerate((8, 16, 32, 64)):
+        in_ch = stem
+        for i, (filters, n_blocks) in enumerate(zip(widths, blocks)):
             stride = 1 if i == 0 else 2
             prev_dilation = dilation
             if i > 0 and dilate[i - 1]:
                 dilation *= 2
                 stride = 1
-            layer = nn.Sequential(
-                Bottleneck(in_ch, filters, stride=stride,
-                           dilation=prev_dilation if i > 0 else 1, norm=norm)
-            )
-            setattr(self, f"layer{i + 1}", layer)
+            stage = [Bottleneck(in_ch, filters, stride=stride,
+                                dilation=prev_dilation if i > 0 else 1,
+                                norm=norm)]
+            # torchvision _make_layer: blocks after the first use the
+            # stage's (updated) dilation, stride 1, no downsample
+            stage += [
+                Bottleneck(filters * 4, filters, stride=1,
+                           dilation=dilation if i > 0 else 1, norm=norm)
+                for _ in range(n_blocks - 1)
+            ]
+            setattr(self, f"layer{i + 1}", nn.Sequential(*stage))
             in_ch = filters * 4
 
     def forward(self, x):
@@ -147,16 +157,33 @@ class Decoder(nn.Module):
         return self.last_conv(torch.cat((x, low), dim=1))
 
 
-class DeepLabV3Plus(nn.Module):
-    """Reference DeepLabV3Plus twin at resnet10 widths; state-dict keys
-    identical to the reference class (backbone./classifier.0./decoder.*)."""
+_TRUNKS = {
+    # arch -> (widths, blocks, stem)
+    "resnet10": ((8, 16, 32, 64), (1, 1, 1, 1), 8),
+    "resnet50": ((64, 128, 256, 512), (3, 4, 6, 3), 64),
+}
 
-    def __init__(self, num_classes=1, output_stride=8, norm=None):
+
+def make_trunk(arch, dilate, norm):
+    widths, blocks, stem = _TRUNKS[arch]
+    return ResnetTrunk(dilate=dilate, norm=norm, widths=widths,
+                       blocks=blocks, stem=stem)
+
+
+class DeepLabV3Plus(nn.Module):
+    """Reference DeepLabV3Plus twin; state-dict keys identical to the
+    reference class (backbone./classifier.0./decoder.*). arch='resnet50'
+    gives the real widths (ASPP in 2048, decoder low-level 256)."""
+
+    def __init__(self, num_classes=1, output_stride=8, norm=None,
+                 arch="resnet10"):
         super().__init__()
         dilate = {8: (False, True, True), 16: (False, False, True)}[output_stride]
-        self.backbone = ResnetTrunk(dilate=dilate, norm=norm)
-        self.classifier = nn.Sequential(ASPP(256, norm=norm))
-        self.decoder = Decoder(low_ch=32, num_classes=num_classes, norm=norm)
+        self.backbone = make_trunk(arch, dilate, norm)
+        top_ch = _TRUNKS[arch][0][3] * 4
+        self.classifier = nn.Sequential(ASPP(top_ch, norm=norm))
+        self.decoder = Decoder(low_ch=_TRUNKS[arch][0][0] * 4,
+                               num_classes=num_classes, norm=norm)
 
     def forward(self, x):
         size = x.shape[2:]
@@ -171,13 +198,14 @@ class DeepLabV3(nn.Module):
     """Reference DeepLabV3 twin: torchvision DeepLabHead = Sequential(ASPP,
     3x3 conv, norm, ReLU, final 1x1) (deeplabv3.py:24-42)."""
 
-    def __init__(self, num_classes=1, output_stride=8, norm=None):
+    def __init__(self, num_classes=1, output_stride=8, norm=None,
+                 arch="resnet10"):
         super().__init__()
         norm = norm or (lambda c: gn(4, c))
         dilate = {8: (False, True, True), 16: (False, False, True)}[output_stride]
-        self.backbone = ResnetTrunk(dilate=dilate, norm=norm)
+        self.backbone = make_trunk(arch, dilate, norm)
         self.classifier = nn.Sequential(
-            ASPP(256, norm=norm),
+            ASPP(_TRUNKS[arch][0][3] * 4, norm=norm),
             nn.Conv2d(256, 256, 3, padding=1, bias=False),
             norm(256), nn.ReLU(),
             nn.Conv2d(256, num_classes, 1))
@@ -273,11 +301,12 @@ class MaskRCNN(nn.Module):
     exactly the torchvision maskrcnn key groups (backbone.body.*,
     backbone.fpn.*, rpn.head.*, roi_heads.*)."""
 
-    def __init__(self, num_classes=2, norm=None):
+    def __init__(self, num_classes=2, norm=None, arch="resnet10"):
         super().__init__()
+        widths = _TRUNKS[arch][0]
         self.backbone = nn.ModuleDict({
-            "body": ResnetTrunk(norm=norm),
-            "fpn": FPN(),
+            "body": make_trunk(arch, (False, False, False), norm),
+            "fpn": FPN(in_chs=tuple(w * 4 for w in widths)),
         })
         self.rpn = nn.ModuleDict({"head": RPNHead()})
         roi = nn.ModuleDict()
