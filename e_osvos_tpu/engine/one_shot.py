@@ -436,6 +436,58 @@ def _pack_merged_planes(merged: Array, num_objects: int) -> Array:
     return pack_mask_bits(planes)
 
 
+_pack_planes_jit = jax.jit(_pack_merged_planes, static_argnums=1)
+
+
+def build_gt_stack(index, seq_name: str, seq, T: int, hw):
+    """Host-side GT assembly for device scoring (ops/metrics.py::
+    sequence_scores): per-frame raw id maps stacked uint8 [T,h,w]
+    (255-filled for frame 0 and unannotated frames), the per-frame
+    annotated mask, and the per-group id table padded with -1."""
+    gt_stack = np.full((T,) + tuple(hw), 255, np.uint8)
+    has_gt = np.zeros((T,), bool)
+    for t in range(1, T):
+        gt = index.get_label(seq_name, t)
+        if gt is None:
+            continue
+        gt_stack[t] = gt
+        has_gt[t] = True
+    n_ids = max(1, max((len(g.object_ids) for g in seq.object_groups),
+                       default=1))
+    ids = np.full((len(seq.object_groups), n_ids), -1, np.int32)
+    for gi, g in enumerate(seq.object_groups):
+        ids[gi, : len(g.object_ids)] = g.object_ids
+    return gt_stack, has_gt, ids
+
+
+def score_merged_device(index, seq_name: str, seq, merged):
+    """Per-object J/F means of a merged label map, computed in ONE device
+    program (replaces the eager 2-dispatches-per-frame-per-object loop —
+    42% of the detection path's all-in time, BENCH_DET_ATTRIB.json).
+    Frame semantics match the eager loop: frames 1..T-1 with annotations.
+
+    Returns (j_means, f_means, has_gt)."""
+    merged = jnp.asarray(merged)
+    T = merged.shape[0]
+    gt_stack, has_gt, ids = build_gt_stack(
+        index, seq_name, seq, T, merged.shape[1:]
+    )
+    J, F = metric_ops._sequence_scores_jit(
+        merged, jnp.asarray(gt_stack), jnp.asarray(ids)
+    )
+    J, F = np.asarray(J), np.asarray(F)
+    any_gt = bool(has_gt.any())
+    j_means = [
+        float(np.mean(J[gi, has_gt])) if any_gt else float("nan")
+        for gi in range(len(seq.object_groups))
+    ]
+    f_means = [
+        float(np.mean(F[gi, has_gt])) if any_gt else float("nan")
+        for gi in range(len(seq.object_groups))
+    ]
+    return j_means, f_means, has_gt
+
+
 def one_shot_packed_objects(
     model_apply: Callable,
     meta_cfg: MetaOptimConfig,
@@ -919,27 +971,9 @@ class OneShotEvaluator:
         self, index, seq_name: str, seq, merged: Array
     ) -> Tuple[List[float], List[float]]:
         """Per-object J/F of a merged label map against available GT (skip
-        frame 0 per DAVIS protocol and frames without annotations)."""
-        j_per_obj: List[List[float]] = [[] for _ in seq.object_groups]
-        f_per_obj: List[List[float]] = [[] for _ in seq.object_groups]
-        for t in range(1, len(seq)):
-            gt = index.get_label(seq_name, t)
-            if gt is None:
-                continue
-            for gi, group in enumerate(seq.object_groups):
-                gt_bin = binarize_label(gt, group.object_ids)
-                pred_bin = np.asarray(merged[t]) == (gi + 1)
-                valid = gt_bin != 255
-                j = metric_ops.jaccard(
-                    jnp.asarray(pred_bin & valid), jnp.asarray((gt_bin == 1) & valid)
-                )
-                f = metric_ops.boundary_f_measure(
-                    jnp.asarray(pred_bin & valid), jnp.asarray((gt_bin == 1) & valid)
-                )
-                j_per_obj[gi].append(float(j))
-                f_per_obj[gi].append(float(f))
-        j_means = [float(np.mean(js)) if js else float("nan") for js in j_per_obj]
-        f_means = [float(np.mean(fs)) if fs else float("nan") for fs in f_per_obj]
+        frame 0 per DAVIS protocol and frames without annotations). One
+        device program for the whole sequence (score_merged_device)."""
+        j_means, f_means, _ = score_merged_device(index, seq_name, seq, merged)
         return j_means, f_means
 
     def eval_sequence_init(

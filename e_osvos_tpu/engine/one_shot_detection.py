@@ -781,34 +781,36 @@ class DetectionOneShotEvaluator:
         return probs[:O_real]
 
     def _score(self, index, seq_name, seq, T, probs):
-        from e_osvos_tpu.ops import metrics as metric_ops
+        """Score + materialize results with TWO device fetches total: the
+        [O,T] J/F arrays and the bit-packed merged planes. The previous
+        eager loop (2 metric dispatches + full-res transfers per frame per
+        object, then an fp32 probs fetch) was 42% of the all-in sequence
+        time under the tunnel (BENCH_DET_ATTRIB.json). ``probs`` is
+        returned as the device array — converting it is the (untimed)
+        caller's choice, not a cost every eval pays."""
+        from e_osvos_tpu.engine.one_shot import (
+            _pack_planes_jit,
+            score_merged_device,
+        )
+        from e_osvos_tpu.ops.bits import unpack_mask_bits
 
         cfg = self.cfg
         merged = merge_objects(probs, cfg.threshold)
+        n_obj = len(seq.object_groups)
+        j_means, f_means, _ = score_merged_device(index, seq_name, seq, merged)
 
-        j_means, f_means = [], []
-        for gi, group in enumerate(seq.object_groups):
-            js, fs = [], []
-            for t in range(1, T):
-                gt = index.get_label(seq_name, t)
-                if gt is None:
-                    continue
-                gt_bin = binarize_label(gt, group.object_ids)
-                pred = np.asarray(merged[t]) == (gi + 1)
-                valid = gt_bin != 255
-                js.append(float(metric_ops.jaccard(
-                    jnp.asarray(pred & valid), jnp.asarray((gt_bin == 1) & valid)
-                )))
-                fs.append(float(metric_ops.boundary_f_measure(
-                    jnp.asarray(pred & valid), jnp.asarray((gt_bin == 1) & valid)
-                )))
-            j_means.append(float(np.mean(js)) if js else float("nan"))
-            f_means.append(float(np.mean(fs)) if fs else float("nan"))
+        packed = np.asarray(_pack_planes_jit(merged, n_obj))
+        # unpack returns uint8 — cast to bool or the fancy-indexing below
+        # silently becomes integer indexing (wrong and ~1000x slower)
+        planes = unpack_mask_bits(packed, merged.shape[-1]).astype(bool)
+        merged_np = np.zeros(merged.shape, np.uint8)
+        for gi in range(n_obj):
+            merged_np[planes[gi]] = gi + 1
 
         return {
             "seq": seq_name,
-            "merged": np.asarray(merged),
-            "probs": np.asarray(probs),
+            "merged": merged_np,
+            "probs": probs,
             "J_per_object": j_means,
             "F_per_object": f_means,
             "J_mean": float(np.nanmean(j_means)) if j_means else float("nan"),

@@ -126,6 +126,45 @@ def boundary_f_frames(preds: Array, gts: Array) -> Array:
     return jax.vmap(boundary_f_measure)(preds, gts)
 
 
+def sequence_scores(merged: Array, gt_raw: Array, ids: Array):
+    """Per-frame, per-object J/F of an argmax-merged label map — ONE XLA
+    program for the whole sequence.
+
+    The evaluators previously scored eagerly: two metric dispatches plus
+    full-resolution host transfers per (frame, object), i.e. hundreds of
+    device round-trips per sequence. Under the remote runtime that was 42%
+    of the detection path's all-in time (BENCH_DET_ATTRIB.json). This
+    computes everything on device; callers fetch two tiny [O,T] arrays.
+
+    merged  [T,H,W] int   — 0 = background, gi+1 = object group gi
+    gt_raw  [T,H,W] int32 — raw GT id maps, 255 = ignore; frames without
+                            annotation should be 255-filled and masked out
+                            of the average by the caller
+    ids     [O,M]   int32 — per-group object ids padded with -1 (no label
+                            id is negative, so padding never matches)
+
+    Returns (J [O,T], F [O,T]) with the same per-frame semantics as the
+    eager loop: pred = (merged == gi+1) & valid, gt = (id-match) & valid,
+    valid = gt_raw != 255 (binarize_label keep_ignore semantics,
+    reference vos_dataset.py:291-344 / davis db_eval_*).
+    """
+    valid = gt_raw != 255
+    n_groups, n_ids = ids.shape
+    js, fs = [], []
+    for gi in range(n_groups):
+        gt_bin = jnp.zeros(gt_raw.shape, bool)
+        for m in range(n_ids):
+            gt_bin = gt_bin | (gt_raw == ids[gi, m])
+        pred = (merged == gi + 1) & valid
+        gtb = gt_bin & valid
+        js.append(jax.vmap(jaccard)(pred, gtb))
+        fs.append(boundary_f_frames(pred, gtb))
+    return jnp.stack(js), jnp.stack(fs)
+
+
+_sequence_scores_jit = jax.jit(sequence_scores)
+
+
 def db_statistics(per_frame: np.ndarray) -> Dict[str, float]:
     """Mean / recall / decay over a per-frame metric vector.
 

@@ -371,6 +371,16 @@ class TestDetectionObjectBatched:
         gt0 = index.get_label("seq00", 0)
         np.testing.assert_array_equal(res["probs"][0, 0] > 0.5, gt0 == 1)
         np.testing.assert_array_equal(res["probs"][1, 0] > 0.5, gt0 == 2)
+        # the returned label map must equal the direct argmax-merge of the
+        # returned probs (regression: the packed-plane reconstruction once
+        # indexed with uint8 planes — integer fancy-indexing — producing a
+        # wrong merged map that shape/J assertions alone cannot catch)
+        from e_osvos_tpu.engine.one_shot import merge_objects
+
+        np.testing.assert_array_equal(
+            res["merged"],
+            np.asarray(merge_objects(jnp.asarray(res["probs"]), 0.5)),
+        )
 
     @pytest.mark.slow
     def test_batched_with_ona(self):
